@@ -1,0 +1,97 @@
+"""Core table types: columnar relations and join results.
+
+The reference (src/types.h:37-63) stores row-major ``tuple_t {key, payload}``
+arrays.  A TPU engine wants columnar layout: a relation is a pair of dense
+device arrays (``key[n]``, ``payload[n]``), int32 by default or int64 with
+``key8b`` (the reference's --enable-key8B / KEY_8B switch, src/types.h:22-28).
+
+Columnar layout means every kernel streams whole 128-lane vectors of keys with
+no interleaving waste, and payload columns ride along only when needed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def key_dtype(key8b: bool = False):
+    """Key/payload dtype: int32 (8B tuples) or int64 (16B tuples, KEY_8B)."""
+    return jnp.int64 if key8b else jnp.int32
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Relation:
+    """A columnar relation: parallel key/payload arrays.
+
+    Mirrors the capability of relation_t (src/types.h:46-49).  ``num_valid``
+    supports capacity-padded relations (needed because XLA requires static
+    shapes: filtered/partitioned relations keep their allocated capacity and a
+    dynamic count of live tuples; padding slots hold PAD_KEY).
+    """
+
+    key: jax.Array
+    payload: jax.Array
+    # dynamic number of valid tuples (scalar array); tuples beyond are padding
+    num_valid: Optional[jax.Array] = None
+
+    # Padding sentinel: the reference generators only produce keys >= 1
+    # (generator.c:161-221 cycles keys in [1, threshold]; genzipf.c:39 "don't
+    # let 0 be in the alphabet"), so 0x80000000 (INT32_MIN) is never a live key.
+    PAD_KEY = np.int32(-2147483648)
+
+    @property
+    def capacity(self) -> int:
+        return self.key.shape[0]
+
+    @property
+    def num_tuples(self):
+        if self.num_valid is None:
+            return self.key.shape[0]
+        return self.num_valid
+
+    @property
+    def dtype(self):
+        return self.key.dtype
+
+    @staticmethod
+    def from_numpy(key: np.ndarray, payload: Optional[np.ndarray] = None,
+                   device=None) -> "Relation":
+        if payload is None:
+            payload = np.arange(key.shape[0], dtype=key.dtype)
+        k = jnp.asarray(key)
+        p = jnp.asarray(payload)
+        if device is not None:
+            k = jax.device_put(k, device)
+            p = jax.device_put(p, device)
+        return Relation(key=k, payload=p)
+
+    def to_numpy(self):
+        n = self.key.shape[0] if self.num_valid is None else int(self.num_valid)
+        return np.asarray(self.key)[:n], np.asarray(self.payload)[:n]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class JoinResult:
+    """Result of a join: match count, and optionally materialized rid pairs.
+
+    The reference counts matches by default (src/main.c:117-123) and
+    materializes <R.payload, S.payload> pairs only with
+    -DJOIN_RESULT_MATERIALIZE (src/tuple_buffer.h).  Here materialization is a
+    runtime option: ``r_payload``/``s_payload`` are capacity-padded columns
+    with ``total_results`` valid entries.
+    """
+
+    total_results: jax.Array  # scalar int64-ish count (int32/float-safe)
+    s_after_filter: Optional[jax.Array] = None  # S tuples surviving bloom prune
+    r_payload: Optional[jax.Array] = None
+    s_payload: Optional[jax.Array] = None
+
+    def count(self) -> int:
+        return int(self.total_results)
