@@ -1,0 +1,74 @@
+"""Benchmark driver: prints ONE JSON line with the headline metric.
+
+Headline metric (BASELINE.json): join throughput in S-rows/s/chip on the
+radix-join workload, measured end-to-end on device (relations resident in
+HBM, one compiled program, dispatch overhead amortized).
+
+Baseline: the reference's best full-scale CPU number — PRO 128M⋈1.024B at
+2.98 ns/tuple ≈ 335.6M rows/s (isengard, measurements/data/pkl/isengard.pkl,
+BASELINE.md).  vs_baseline = ours / reference.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_ROWS_PER_S = 1e9 / 2.98  # PRO 128M⋈1.024B, 14 thr (BASELINE.md)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    # Workload: PRO-shaped 16M ⋈ 128M uniform (BASELINE.json config 2),
+    # scaled at full 128M⋈1.024B once the Pallas tier lands.
+    r_size = int(os.environ.get("BENCH_R", 16_000_000))
+    s_size = int(os.environ.get("BENCH_S", 128_000_000))
+    algo = os.environ.get("BENCH_ALGO", "PRO")
+    repeats = int(os.environ.get("BENCH_REPEATS", 3))
+
+    import jax
+
+    from hwbloomradixjoin_tpu.config import EngineConfig, RadixConfig
+    from hwbloomradixjoin_tpu.data import generator as G
+    from hwbloomradixjoin_tpu.models import run_join
+    from hwbloomradixjoin_tpu.types import Relation
+
+    log(f"bench: {algo} {r_size}⋈{s_size} on {jax.devices()[0].device_kind}")
+    t0 = time.perf_counter()
+    rk, rp, sk, sp = G.build_workload(G.WorkloadParams(
+        r_size=r_size, s_size=s_size, nthreads=8, selectivity=1.0))
+    log(f"datagen: {time.perf_counter()-t0:.1f}s")
+
+    R = Relation.from_numpy(rk, rp)
+    S = Relation.from_numpy(sk, sp)
+    cfg = EngineConfig(radix=RadixConfig())
+
+    best = None
+    for i in range(repeats):
+        result, stats, _ = run_join(algo, R, S, cfg, None)
+        log(f"run {i}: {stats.total_usec/1e6:.3f}s "
+            f"({stats.nsec_per_tuple:.3f} ns/tuple), results={result.count()}")
+        if best is None or stats.total_usec < best.total_usec:
+            best = stats
+    expect = G.expected_uniform_match_count(s_size, 1.0)
+    if result.count() != expect:
+        log(f"VALIDATION FAILED: {result.count()} != {expect}")
+        value = 0.0
+    else:
+        value = s_size / (best.total_usec / 1e6)
+
+    print(json.dumps({
+        "metric": f"{algo} join throughput ({r_size//10**6}M⋈{s_size//10**6}M, 1 chip)",
+        "value": round(value, 0),
+        "unit": "rows/s",
+        "vs_baseline": round(value / BASELINE_ROWS_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""mchashjoins-compatible command-line driver.
+
+Flag surface and stdout format mirror the reference binary (src/main.c
+parse_args:557-731 and the [INFO ]/timing lines) so that harness tooling
+(measurements/run.py parse_result) works against either engine:
+
+    python -m hwbloomradixjoin_tpu.cli -a PRO -r 16000000 -s 128000000 \
+        -n 8 -q 0.01 -b blocked -m 1073741824 -k 1 -B 512
+
+Extra engine flags (not in the reference) are prefixed --engine-*.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mchashjoins-tpu", add_help=False,
+        description="TPU-native hash join engine (mchashjoins-compatible CLI)")
+    p.add_argument("-a", "--algo", default="PRO",
+                   choices=["RJ", "PRO", "PRH", "PRHO", "NPO", "NPO_st"])
+    p.add_argument("-n", "--nthreads", type=int, default=2,
+                   help="generator thread-layout parameter (kept for multiset "
+                        "parity); TPU parallelism comes from the device mesh")
+    p.add_argument("-r", "--r-size", type=int, default=128_000_000)
+    p.add_argument("-s", "--s-size", type=int, default=128_000_000)
+    p.add_argument("-x", "--r-seed", type=int, default=12345)
+    p.add_argument("-y", "--s-seed", type=int, default=54321)
+    p.add_argument("-q", "--s-sel", type=float, default=1.0)
+    p.add_argument("-z", "--skew", type=float, default=0.0)
+    p.add_argument("-R", "--r-file", default=None)
+    p.add_argument("-S", "--s-file", default=None)
+    p.add_argument("--non-unique", action="store_true")
+    p.add_argument("--full-range", action="store_true")
+    p.add_argument("--basic-numa", action="store_true",
+                   help="accepted for CLI parity; placement is mesh-driven")
+    p.add_argument("-b", "--bloom-filter", default="no",
+                   choices=["no", "basic", "blocked"])
+    p.add_argument("-m", "--bloom-size", type=int, default=256 << 20)
+    p.add_argument("-k", "--bloom-hashes", type=int, default=8)
+    p.add_argument("-B", "--bloom-block-size", type=int, default=1024)
+    p.add_argument("-p", "--perfconf", default=None)
+    p.add_argument("-o", "--perfout", default=None)
+    p.add_argument("-h", "--help", action="help")
+    p.add_argument("-v", "--version", action="store_true")
+    p.add_argument("--verbose", action="store_true")
+    # engine extras
+    p.add_argument("--engine-backend", default="auto",
+                   choices=["auto", "tpu", "cpu"],
+                   help="force a jax backend (cpu for validation runs)")
+    p.add_argument("--engine-radix-bits", type=int, default=None)
+    p.add_argument("--engine-no-pallas", action="store_true")
+    p.add_argument("--engine-repeats", type=int, default=1,
+                   help="re-run the timed join N times, report the best")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.version:
+        import hwbloomradixjoin_tpu as hb
+        print(f"\nhwbloomradixjoin_tpu {hb.__version__}")
+        print("TPU-native re-design of the mchashjoins/HwBloomRadixJoin suite.\n")
+        return 0
+
+    if args.engine_backend == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from hwbloomradixjoin_tpu.config import (BloomArgs, BloomVariant,
+                                             EngineConfig, RadixConfig)
+    from hwbloomradixjoin_tpu.data import generator as G
+    from hwbloomradixjoin_tpu.data import tblio
+    from hwbloomradixjoin_tpu.models import run_join
+    from hwbloomradixjoin_tpu.types import Relation
+    from hwbloomradixjoin_tpu.utils.timing import print_timing
+
+    tuple_bytes = 8  # key8b selects int64 at EngineConfig level
+
+    def info_create(name, size, loading):
+        mib = tuple_bytes * size / 1024.0 / 1024.0
+        sys.stdout.write(
+            f"[INFO ] {'Loading' if loading else 'Creating'} relation {name} "
+            f"with size = {mib:.3f} MiB, #tuples = {size} : ")
+        sys.stdout.flush()
+
+    params = G.WorkloadParams(
+        r_size=args.r_size, s_size=args.s_size, r_seed=args.r_seed,
+        s_seed=args.s_seed, nthreads=args.nthreads, skew=args.skew,
+        selectivity=args.s_sel, nonunique_keys=args.non_unique,
+        fullrange_keys=args.full_range)
+
+    info_create("R", args.r_size, args.r_file is not None)
+    if args.r_file or args.s_file:
+        print("OK ")
+        info_create("S", args.s_size, args.s_file is not None)
+        rk, rp = tblio.read_relation(args.r_file, args.r_size)
+        sk, sp = tblio.read_relation(args.s_file, args.s_size)
+        print("OK ")
+    else:
+        rk, rp, sk, sp = G.build_workload(params)
+        print("OK ")
+        info_create("S", args.s_size, False)
+        print("OK ")
+
+    print(f"[INFO ] Running join algorithm {args.algo} ...")
+
+    bloom_args = None
+    if args.bloom_filter != "no":
+        bloom_args = BloomArgs(
+            variant=BloomVariant(args.bloom_filter), m=args.bloom_size,
+            k=args.bloom_hashes, B=args.bloom_block_size)
+
+    radix = RadixConfig(use_pallas=not args.engine_no_pallas)
+    if args.engine_radix_bits is not None:
+        radix = RadixConfig(num_radix_bits=args.engine_radix_bits,
+                            use_pallas=not args.engine_no_pallas)
+    cfg = EngineConfig(radix=radix)
+
+    R = Relation.from_numpy(rk, rp)
+    S = Relation.from_numpy(sk, sp)
+
+    best = None
+    for _ in range(max(1, args.engine_repeats)):
+        result, stats, _ = run_join(args.algo, R, S, cfg, bloom_args)
+        if best is None or stats.total_usec < best[1].total_usec:
+            best = (result, stats)
+    result, stats = best
+
+    print_timing(stats)
+    print(f"[INFO ] Results = {result.count()}. DONE.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

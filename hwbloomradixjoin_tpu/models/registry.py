@@ -1,0 +1,119 @@
+"""Algorithm registry and the join driver.
+
+Mirrors the reference's algos[] table (src/main.c:331-339): six algorithm
+names, each with a plain and a bloom entry point (NPO/NPO_st ignore the
+filter exactly as the reference's B_NPO wrappers do, main.c:296-312).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from hwbloomradixjoin_tpu.config import BloomArgs, EngineConfig
+from hwbloomradixjoin_tpu.models import bloom_join, npo, radix_join
+from hwbloomradixjoin_tpu.types import JoinResult, Relation
+from hwbloomradixjoin_tpu.utils.timing import JoinStats
+
+
+@dataclasses.dataclass(frozen=True)
+class AlgoSpec:
+    name: str
+    family: str            # "radix" | "npo"
+    uses_bloom: bool       # whether the bloom twin actually filters
+    single_device: bool    # RJ / NPO_st: pinned single-chip execution
+
+
+ALGORITHMS = {
+    "PRO": AlgoSpec("PRO", "radix", True, False),
+    "RJ": AlgoSpec("RJ", "radix", True, True),
+    "PRH": AlgoSpec("PRH", "radix", True, False),
+    "PRHO": AlgoSpec("PRHO", "radix", True, False),
+    "NPO": AlgoSpec("NPO", "npo", False, False),
+    "NPO_st": AlgoSpec("NPO_st", "npo", False, True),
+}
+
+
+def _count_fn(spec: AlgoSpec, cfg: EngineConfig,
+              bloom_args: Optional[BloomArgs]):
+    """Return a jittable (rk, rp, sk, sp) -> (count, sr, ss, s_after|-1)."""
+    use_pallas = cfg.radix.use_pallas and jax.default_backend() == "tpu"
+    if use_pallas:
+        try:
+            from hwbloomradixjoin_tpu.ops import radix  # noqa: F401
+        except ImportError:
+            use_pallas = False
+    if spec.family == "npo":
+        def fn(rk, rp, sk, sp):
+            c, sr, ss = npo.npo_count(rk, rp, sk, sp)
+            return c, sr, ss, jnp.int32(-1)
+        return fn
+    if bloom_args is not None:
+        if use_pallas:
+            from hwbloomradixjoin_tpu.ops import radix as radix_ops
+
+            def fn(rk, rp, sk, sp):
+                return radix_ops.bloom_radix_join_pallas(
+                    rk, rp, sk, sp, cfg.radix, bloom_args, variant=spec.name)
+            return fn
+
+        def fn(rk, rp, sk, sp):
+            return bloom_join.bloom_radix_count(rk, rp, sk, sp, bloom_args,
+                                                variant="B" + spec.name)
+        return fn
+    if use_pallas:
+        from hwbloomradixjoin_tpu.ops import radix as radix_ops
+
+        def fn(rk, rp, sk, sp):
+            c, sr, ss = radix_ops.radix_join_pallas(rk, rp, sk, sp, cfg.radix,
+                                                    variant=spec.name)
+            return c, sr, ss, jnp.int32(-1)
+        return fn
+
+    def fn(rk, rp, sk, sp):
+        c, sr, ss = radix_join.radix_count(rk, rp, sk, sp, variant=spec.name)
+        return c, sr, ss, jnp.int32(-1)
+    return fn
+
+
+def run_join(name: str, R: Relation, S: Relation,
+             cfg: EngineConfig = EngineConfig(),
+             bloom_args: Optional[BloomArgs] = None):
+    """Execute a named join algorithm; returns (JoinResult, JoinStats).
+
+    The whole join is one compiled XLA program; compile time is excluded from
+    the reported runtime (first call warms the cache).
+    """
+    spec = ALGORITHMS[name]
+    if spec.family == "npo":
+        bloom_args = None  # B_NPO wrappers ignore the filter (main.c:296-312)
+    fn = jax.jit(_count_fn(spec, cfg, bloom_args))
+
+    t0 = time.perf_counter()
+    compiled = fn.lower(R.key, R.payload, S.key, S.payload).compile()
+    # warm-up execution: some backends defer final codegen/load to first run
+    jax.block_until_ready(compiled(R.key, R.payload, S.key, S.payload))
+    compile_usec = (time.perf_counter() - t0) * 1e6
+
+    t0 = time.perf_counter()
+    c, sr, ss, s_after = compiled(R.key, R.payload, S.key, S.payload)
+    c = int(c)
+    total_usec = (time.perf_counter() - t0) * 1e6
+
+    s_after_i = int(s_after)
+    stats = JoinStats(
+        total_usec=total_usec,
+        probe_usec=total_usec,
+        result=c,
+        num_s_tuples=S.capacity,
+        s_after_filter=None if s_after_i < 0 else s_after_i,
+        compile_usec=compile_usec,
+    )
+    result = JoinResult(total_results=c,
+                        s_after_filter=None if s_after_i < 0 else s_after_i)
+    return result, stats, (int(sr), int(ss))

@@ -85,3 +85,33 @@ def probe_bitmap_host(bitmap: np.ndarray, keys: np.ndarray,
 def theoretical_fpr(m: int, k: int, n: int) -> float:
     """FPR = (1 - (1 - 1/m)^(k n))^k (unit_tests.c:231-232, analysis.py:63-67)."""
     return (1.0 - (1.0 - 1.0 / m) ** (k * n)) ** k
+
+
+# ---------------------------------------------------------------------------
+# In-graph (XLA) build/probe — portable tier used by the bloom join models.
+# The reference builds with relaxed atomic fetch-or (bloom_filter.c:84); here
+# the equivalent is a deterministic sort-dedup-reduce: distinct bit positions
+# per word sum to the word's OR, so no atomics and no scatter-OR are needed.
+# ---------------------------------------------------------------------------
+
+def build_bitmap_xla(keys, args: BloomArgs):
+    """Filter bitmap (uint32[m/32]) as a jitted XLA computation."""
+    import jax
+
+    pos_list = global_positions(keys, args)
+    pos = jnp.concatenate([p.reshape(-1) for p in pos_list]).astype(jnp.uint32)
+    pos = jax.lax.sort(pos.astype(jnp.int32))  # positions < 2^31 (m <= 2^30)
+    uniq = jnp.concatenate([jnp.ones(1, bool), pos[1:] != pos[:-1]])
+    word = (pos >> 5).astype(jnp.int32)
+    bit = (U.u32(pos) & jnp.uint32(31))
+    val = jnp.where(uniq, jnp.uint32(1) << bit, jnp.uint32(0))
+    return jax.ops.segment_sum(val, word, num_segments=args.m // 32)
+
+
+def probe_bitmap_xla(bitmap, keys, args: BloomArgs):
+    """contains() mask for keys against a uint32-word bitmap, in-graph."""
+    ok = jnp.ones(keys.shape, dtype=bool)
+    for pos in global_positions(keys, args):
+        word = bitmap[(pos >> 5).astype(jnp.int32)]
+        ok = ok & (((word >> (pos & jnp.uint32(31))) & jnp.uint32(1)) != 0)
+    return ok

@@ -1,0 +1,115 @@
+"""Backend-portable XLA join operators (reference tier).
+
+These are the engine's correctness baseline: pure jnp/lax formulations that
+run on any backend (CPU test meshes, TPU) with no Pallas dependency.  The
+TPU fast path (ops/radix.py Pallas kernels) is validated against them, and
+they in turn are validated against the native scalar ground truth.
+
+Two formulations:
+
+- ``sort_scan_count``: sort-based join count (+ payload checksums).
+  Replaces the reference's chain-walk probe (bucket_chaining_join,
+  parallel_radix_join.c:255) with a deterministic sort + segmented scan:
+  R rows sort before S rows within a key, so each S row's match count is the
+  number of R rows in its key segment.  O(n log n), race-free, duplicate keys
+  allowed on both sides.
+
+- ``csr_hash_join_count``: the NPO structure (no_partitioning_join.c:432-330)
+  without locks: R bucketized by hash into a CSR layout (sort by bucket +
+  prefix offsets), S probes scan their bucket's dense window.  The per-bucket
+  latch build is replaced by a sort and the linked overflow-bucket walk
+  (npj_types.h BUCKET_SIZE=2 chains) by a bounded window compare.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from hwbloomradixjoin_tpu.ops import u32 as U
+
+
+def sort_scan_count(r_key, r_pay, s_key, s_pay):
+    """Join match count + uint32 payload checksums (mod-2^32 of ref_join sums).
+
+    Returns (count:int32, sum_r_payload:uint32, sum_s_payload:uint32) over all
+    matched (r, s) pairs.
+    """
+    nr = r_key.shape[0]
+    ns = s_key.shape[0]
+    n = nr + ns
+    key = jnp.concatenate([r_key, s_key])
+    tag = jnp.concatenate([jnp.zeros(nr, jnp.int32), jnp.ones(ns, jnp.int32)])
+    pay = jnp.concatenate([r_pay, s_pay])
+    key, tag, pay = jax.lax.sort((key, tag, pay), num_keys=2)
+
+    is_r = tag == 0
+    boundary = jnp.concatenate([jnp.ones(1, bool), key[1:] != key[:-1]])
+    idx = jnp.arange(n, dtype=jnp.int32)
+    seg_start = jax.lax.cummax(jnp.where(boundary, idx, jnp.int32(-1)))
+
+    # exclusive prefixes; base value at segment start recovers per-segment sums
+    r_flag = is_r.astype(jnp.uint32)
+    r_pref = jnp.cumsum(r_flag, dtype=jnp.uint32) - r_flag
+    rp_val = jnp.where(is_r, U.u32(pay), jnp.uint32(0))
+    rp_pref = jnp.cumsum(rp_val, dtype=jnp.uint32) - rp_val
+
+    r_in_seg = r_pref - r_pref[seg_start]        # uint32, wrap-safe difference
+    rp_in_seg = rp_pref - rp_pref[seg_start]
+    s_rows = ~is_r
+    count = jnp.sum(jnp.where(s_rows, r_in_seg, 0).astype(jnp.int64)
+                    if jax.config.x64_enabled else
+                    jnp.where(s_rows, r_in_seg, 0).astype(jnp.int32))
+    sum_rpay = jnp.sum(jnp.where(s_rows, rp_in_seg, jnp.uint32(0)),
+                       dtype=jnp.uint32)
+    sum_spay = jnp.sum(jnp.where(s_rows, U.u32(pay) * r_in_seg, jnp.uint32(0)),
+                       dtype=jnp.uint32)
+    return count, sum_rpay, sum_spay
+
+
+def hash_multiplicative(keys, bits: int):
+    """Cheap bucket hash: Knuth multiplicative on uint32, top `bits` bits."""
+    h = U.mul_lo(U.u32(keys), jnp.uint32(2654435761))
+    return (h >> jnp.uint32(32 - bits)).astype(jnp.int32)
+
+
+def csr_hash_join_count(r_key, r_pay, s_key, s_pay, bits: int | None = None,
+                        max_bucket: int = 8):
+    """NPO-shaped join: CSR-bucketized R table, windowed probe.
+
+    bits: log2(#buckets); defaults to ~2 tuples/bucket like the reference's
+    BUCKET_SIZE=2 (npj_params.h:18).
+    max_bucket: static probe-window bound; the returned `overflow` flag is
+    True if any bucket exceeded it (callers must then retry with a larger
+    window — uniform unique keys keep buckets tiny).
+    """
+    nr = r_key.shape[0]
+    if bits is None:
+        bits = max((max(nr // 2, 1) - 1).bit_length(), 1)
+    nbuckets = 1 << bits
+
+    rb = hash_multiplicative(r_key, bits)
+    order = jnp.argsort(rb, stable=True)
+    rk_s = r_key[order]
+    rp_s = r_pay[order]
+    rb_s = rb[order]
+    offsets = jnp.searchsorted(rb_s, jnp.arange(nbuckets + 1, dtype=jnp.int32),
+                               method="scan_unrolled")
+    counts = (offsets[1:] - offsets[:-1]).astype(jnp.int32)
+    overflow = jnp.max(counts) > max_bucket
+
+    sb = hash_multiplicative(s_key, bits)
+    start = offsets[sb].astype(jnp.int32)
+    scount = counts[sb]
+    cnt = jnp.int32(0)
+    sum_rp = jnp.uint32(0)
+    sum_sp = jnp.uint32(0)
+    for j in range(max_bucket):
+        idx = jnp.minimum(start + j, nr - 1)
+        hit = (j < scount) & (rk_s[idx] == s_key)
+        cnt = cnt + jnp.sum(hit, dtype=jnp.int32)
+        sum_rp = sum_rp + jnp.sum(jnp.where(hit, U.u32(rp_s[idx]), jnp.uint32(0)),
+                                  dtype=jnp.uint32)
+        sum_sp = sum_sp + jnp.sum(jnp.where(hit, U.u32(s_pay), jnp.uint32(0)),
+                                  dtype=jnp.uint32)
+    return cnt, sum_rp, sum_sp, overflow

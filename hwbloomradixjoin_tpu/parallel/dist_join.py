@@ -1,0 +1,141 @@
+"""Distributed hash join over a device mesh.
+
+The reference's shared-memory "collectives" map onto real ones
+(SURVEY.md §2.2):
+
+    thread fan-out + barriers    -> one SPMD program under shard_map
+    global histogram prefix-sums -> psum of per-device histograms
+    shared scatter array         -> lax.all_to_all partition shuffle (ICI)
+    result sum (join_init_run)   -> psum of per-device counts
+    NUMA-local task queues       -> static hash ownership: device d owns
+                                    partition-hash range [d*F/D, (d+1)*F/D)
+
+Bloom pre-filtering happens BEFORE the shuffle (the distributed analogue of
+the reference pruning S during pass-1, parallel_radix_join_bloom.c:798-849):
+the filter is built from local R shards, OR-combined across devices, and S
+tuples failing it are dropped before any bytes cross ICI.
+
+Static-shape discipline: per-destination send buffers are capacity-padded
+((D, cap) with PAD_KEY fill); `overflow` reports dropped tuples so callers
+can re-run with a larger pad factor.  Skew-aware repartitioning (heavy-hitter
+splitting) lives in parallel/skew.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from hwbloomradixjoin_tpu.config import BloomArgs
+from hwbloomradixjoin_tpu.ops import bloom as bloom_ops
+from hwbloomradixjoin_tpu.ops import xla_join
+from hwbloomradixjoin_tpu.parallel.mesh import AXIS
+from hwbloomradixjoin_tpu.types import Relation
+
+PAD = jnp.int32(Relation.PAD_KEY)
+
+
+def _dest_of(keys, n_dev: int):
+    """Destination device: top log2(D) bits of the multiplicative hash."""
+    bits = (n_dev - 1).bit_length()
+    if n_dev == 1:
+        return jnp.zeros(keys.shape, jnp.int32)
+    h = xla_join.hash_multiplicative(keys, bits)
+    return jnp.minimum(h, n_dev - 1)
+
+
+def _pack_by_dest(dest, valid, cap: int, n_dev: int, *cols):
+    """Group valid columns by destination into (D, cap) buffers (PAD filled).
+
+    Deterministic: stable sort by destination (invalid tuples sort last and
+    are silently dropped — they carry no data); valid tuples ranked past
+    `cap` within their destination are dropped AND counted in overflow.
+    """
+    sort_key = jnp.where(valid, dest, jnp.int32(n_dev))
+    order = jnp.argsort(sort_key, stable=True)
+    d_s = sort_key[order]
+    idx = jnp.arange(dest.shape[0], dtype=jnp.int32)
+    boundary = jnp.concatenate([jnp.ones(1, bool), d_s[1:] != d_s[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(boundary, idx, jnp.int32(-1)))
+    pos = idx - seg_start
+    keep = (pos < cap) & (d_s < n_dev)
+    overflow = jnp.sum((pos >= cap) & (d_s < n_dev), dtype=jnp.int32)
+    outs = []
+    for c in cols:
+        buf = jnp.full((n_dev, cap), PAD, dtype=c.dtype)
+        buf = buf.at[d_s, pos].set(
+            jnp.where(keep, c[order], PAD), mode="drop", unique_indices=True)
+        outs.append(buf)
+    return outs, overflow
+
+
+def _or_across_devices(x):
+    """Bitwise OR reduction across the mesh axis (all_gather + fold)."""
+    g = jax.lax.all_gather(x, AXIS)          # (D, ...)
+    return jax.lax.reduce(g, jnp.uint32(0), jax.lax.bitwise_or, (0,))
+
+
+@partial(jax.jit, static_argnames=("n_dev", "cap", "bloom_args"))
+def _dist_join_step(rk, rp, sk, sp, n_dev: int, cap: int,
+                    bloom_args: Optional[BloomArgs]):
+    """Per-device SPMD body (runs under shard_map)."""
+    s_after = jnp.int32(-1)
+    if bloom_args is not None:
+        local_bitmap = bloom_ops.build_bitmap_xla(rk, bloom_args)
+        bitmap = _or_across_devices(local_bitmap)
+        mask = bloom_ops.probe_bitmap_xla(bitmap, sk, bloom_args)
+        # padding slots (PAD key) must not count as survivors
+        mask = mask & (sk != PAD)
+        sk = jnp.where(mask, sk, PAD)
+        s_after = jax.lax.psum(jnp.sum(mask, dtype=jnp.int32), AXIS)
+
+    rd = _dest_of(rk, n_dev)
+    sd = _dest_of(sk, n_dev)
+    # PAD tuples (bloom-pruned / capacity padding) are dropped at pack time —
+    # the point of pruning before the shuffle is that they cross no wire.
+    (rk_b, rp_b), r_ovf = _pack_by_dest(rd, rk != PAD, cap, n_dev, rk, rp)
+    (sk_b, sp_b), s_ovf = _pack_by_dest(sd, sk != PAD, cap, n_dev, sk, sp)
+
+    rk_x = jax.lax.all_to_all(rk_b, AXIS, 0, 0, tiled=False).reshape(-1)
+    rp_x = jax.lax.all_to_all(rp_b, AXIS, 0, 0, tiled=False).reshape(-1)
+    sk_x = jax.lax.all_to_all(sk_b, AXIS, 0, 0, tiled=False).reshape(-1)
+    sp_x = jax.lax.all_to_all(sp_b, AXIS, 0, 0, tiled=False).reshape(-1)
+
+    # PAD rows on the R side must not join with PAD rows on the S side:
+    # retag S pads to a second sentinel.
+    sk_x = jnp.where(sk_x == PAD, PAD + 1, sk_x)
+    cnt, sr, ss = xla_join.sort_scan_count(rk_x, rp_x, sk_x, sp_x)
+    cnt = jax.lax.psum(cnt, AXIS)
+    sr = jax.lax.psum(sr, AXIS)
+    ss = jax.lax.psum(ss, AXIS)
+    ovf = jax.lax.psum(r_ovf + s_ovf, AXIS)
+    return cnt, sr, ss, s_after, ovf
+
+
+def dist_join_count(mesh, rk, rp, sk, sp,
+                    bloom_args: Optional[BloomArgs] = None,
+                    pad_factor: float = 2.0):
+    """Distributed join count over `mesh` (inputs sharded on axis "d").
+
+    Returns (count, sum_rpay, sum_spay, s_after_filter, overflow); overflow>0
+    means the capacity pad was too small for the hash skew — results are then
+    invalid and the caller should retry with a larger pad_factor.
+    """
+    n_dev = mesh.shape[AXIS]
+    n_loc = rk.shape[0] // n_dev
+    ns_loc = sk.shape[0] // n_dev
+    cap = int(max(n_loc, ns_loc) / n_dev * pad_factor) + 16
+
+    step = jax.shard_map(
+        partial(_dist_join_step, n_dev=n_dev, cap=cap, bloom_args=bloom_args),
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(), P(), P(), P(), P()),
+    )
+    sh = NamedSharding(mesh, P(AXIS))
+    args = [jax.device_put(a, sh) for a in (rk, rp, sk, sp)]
+    return step(*args)
