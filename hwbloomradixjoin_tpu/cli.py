@@ -122,7 +122,8 @@ def main(argv=None) -> int:
                             use_pallas=not args.engine_no_pallas)
     cfg = EngineConfig(radix=radix)
 
-    R = Relation.from_numpy(rk, rp)
+    r_stats = None if (args.r_file or args.s_file) else G.r_key_stats(params)
+    R = Relation.from_numpy(rk, rp, stats=r_stats)
     S = Relation.from_numpy(sk, sp)
 
     best = None

@@ -193,6 +193,20 @@ def build_workload(p: WorkloadParams):
     return rk, rp, sk, sp
 
 
+def r_key_stats(p: WorkloadParams):
+    """Declared build-side key constraints for a generated workload.
+
+    The default PK generator emits exactly one of each key in [1, r_size]
+    (selectivity 1.0 path), so R is a dense primary key by construction.
+    Non-unique / full-range workloads get no constraint.
+    """
+    from hwbloomradixjoin_tpu.types import KeyStats
+
+    if p.fullrange_keys or p.nonunique_keys:
+        return None
+    return KeyStats(min_key=1, max_key=p.r_size, is_dense_pk=True)
+
+
 def expected_uniform_match_count(s_size: int, selectivity: float) -> int:
     """Exact match count for the uniform PK/FK workload: n - floor(n*(1-q)).
 

@@ -7,6 +7,11 @@ device arrays (``key[n]``, ``payload[n]``), int32 by default or int64 with
 
 Columnar layout means every kernel streams whole 128-lane vectors of keys with
 no interleaving waste, and payload columns ride along only when needed.
+
+``KeyStats`` carries declared key constraints (PRIMARY KEY / dense range),
+set by construction when the generators build PK relations — the planner uses
+them to select the dense perfect-hash join fast path, the same way disk-based
+engines exploit declared primary keys.
 """
 
 from __future__ import annotations
@@ -24,6 +29,21 @@ def key_dtype(key8b: bool = False):
     return jnp.int64 if key8b else jnp.int32
 
 
+@dataclasses.dataclass(frozen=True)
+class KeyStats:
+    """Declared key metadata (constraint-grade, set by construction).
+
+    is_dense_pk=True asserts keys are exactly a permutation of
+    [min_key, max_key] — the generator guarantees this for PK relations
+    (parallel_create_relation with selectivity 1.0 emits each key in
+    [1, n] exactly once, generator.c:161-221).
+    """
+
+    min_key: int
+    max_key: int
+    is_dense_pk: bool = False
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Relation:
@@ -39,10 +59,13 @@ class Relation:
     payload: jax.Array
     # dynamic number of valid tuples (scalar array); tuples beyond are padding
     num_valid: Optional[jax.Array] = None
+    # static declared key constraints (not traced)
+    stats: Optional[KeyStats] = dataclasses.field(
+        default=None, metadata=dict(static=True))
 
-    # Padding sentinel: the reference generators only produce keys >= 1
+    # Padding sentinel: the reference generators only produce keys >= 0
     # (generator.c:161-221 cycles keys in [1, threshold]; genzipf.c:39 "don't
-    # let 0 be in the alphabet"), so 0x80000000 (INT32_MIN) is never a live key.
+    # let 0 be in the alphabet"), so INT32_MIN never collides with a live key.
     PAD_KEY = np.int32(-2147483648)
 
     @property
@@ -61,7 +84,7 @@ class Relation:
 
     @staticmethod
     def from_numpy(key: np.ndarray, payload: Optional[np.ndarray] = None,
-                   device=None) -> "Relation":
+                   device=None, stats: Optional[KeyStats] = None) -> "Relation":
         if payload is None:
             payload = np.arange(key.shape[0], dtype=key.dtype)
         k = jnp.asarray(key)
@@ -69,7 +92,7 @@ class Relation:
         if device is not None:
             k = jax.device_put(k, device)
             p = jax.device_put(p, device)
-        return Relation(key=k, payload=p)
+        return Relation(key=k, payload=p, stats=stats)
 
     def to_numpy(self):
         n = self.key.shape[0] if self.num_valid is None else int(self.num_valid)
@@ -88,7 +111,7 @@ class JoinResult:
     with ``total_results`` valid entries.
     """
 
-    total_results: jax.Array  # scalar int64-ish count (int32/float-safe)
+    total_results: jax.Array  # scalar count
     s_after_filter: Optional[jax.Array] = None  # S tuples surviving bloom prune
     r_payload: Optional[jax.Array] = None
     s_payload: Optional[jax.Array] = None
