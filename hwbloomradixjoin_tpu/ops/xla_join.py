@@ -67,6 +67,48 @@ def sort_scan_count(r_key, r_pay, s_key, s_pay):
     return count, sum_rpay, sum_spay
 
 
+def sort_scan_materialize(r_key, r_pay, s_key, s_pay):
+    """Materialized join for a unique-key build side (PK-FK joins).
+
+    The reference's JOIN_RESULT_MATERIALIZE mode appends <R.payload,
+    S.payload> pairs to chained per-thread buffers (src/tuple_buffer.h);
+    here the output is a pair of capacity-|S| columns with `count` valid
+    rows (each S row matches at most one R row when R keys are unique),
+    compacted deterministically by sort.
+
+    Returns (count, r_payload_out, s_payload_out, key_out).
+    """
+    nr = r_key.shape[0]
+    ns = s_key.shape[0]
+    n = nr + ns
+    key = jnp.concatenate([r_key, s_key])
+    tag = jnp.concatenate([jnp.zeros(nr, jnp.int32), jnp.ones(ns, jnp.int32)])
+    pay = jnp.concatenate([r_pay, s_pay])
+    key, tag, pay = jax.lax.sort((key, tag, pay), num_keys=2)
+
+    is_r = tag == 0
+    boundary = jnp.concatenate([jnp.ones(1, bool), key[1:] != key[:-1]])
+    idx = jnp.arange(n, dtype=jnp.int32)
+    seg_start = jax.lax.cummax(jnp.where(boundary, idx, jnp.int32(-1)))
+
+    r_flag = is_r.astype(jnp.int32)
+    r_pref = jnp.cumsum(r_flag) - r_flag
+    r_in_seg = r_pref - r_pref[seg_start]
+    # R payload of the segment head (the R row sorts first within its key;
+    # valid exactly when r_in_seg == 1)
+    head_pay = pay[seg_start]
+    matched = (~is_r) & (r_in_seg == 1)
+    count = jnp.sum(matched, dtype=jnp.int32)
+
+    order = jnp.where(matched, idx, idx + n)
+    _, out_r, out_s, out_k = jax.lax.sort(
+        (order,
+         jnp.where(matched, head_pay, 0),
+         jnp.where(matched, pay, 0),
+         jnp.where(matched, key, jnp.int32(-2147483648))), num_keys=1)
+    return count, out_r[:ns], out_s[:ns], out_k[:ns]
+
+
 def hash_multiplicative(keys, bits: int):
     """Cheap bucket hash: Knuth multiplicative on uint32, top `bits` bits."""
     h = U.mul_lo(U.u32(keys), jnp.uint32(2654435761))

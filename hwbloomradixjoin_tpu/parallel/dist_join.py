@@ -79,9 +79,11 @@ def _or_across_devices(x):
     return jax.lax.reduce(g, jnp.uint32(0), jax.lax.bitwise_or, (0,))
 
 
-@partial(jax.jit, static_argnames=("n_dev", "cap", "bloom_args"))
+@partial(jax.jit, static_argnames=("n_dev", "cap", "bloom_args",
+                                   "skew_handling"))
 def _dist_join_step(rk, rp, sk, sp, n_dev: int, cap: int,
-                    bloom_args: Optional[BloomArgs]):
+                    bloom_args: Optional[BloomArgs],
+                    skew_handling: bool = False):
     """Per-device SPMD body (runs under shard_map)."""
     s_after = jnp.int32(-1)
     if bloom_args is not None:
@@ -95,15 +97,43 @@ def _dist_join_step(rk, rp, sk, sp, n_dev: int, cap: int,
 
     rd = _dest_of(rk, n_dev)
     sd = _dest_of(sk, n_dev)
+    r_valid = rk != PAD
+    s_valid = sk != PAD
+
+    heavy_cnt = jnp.int32(0)
+    rk_h = None
+    if skew_handling and n_dev > 1:
+        from hwbloomradixjoin_tpu.parallel import skew
+
+        heavy = skew.heavy_dest_mask(sd, n_dev, valid=s_valid)
+        salt = jnp.arange(sk.shape[0], dtype=jnp.int32) + \
+            jax.lax.axis_index(AXIS).astype(jnp.int32)
+        sd = skew.split_heavy_dests(sd, heavy, n_dev, salt)
+        # R tuples bound for heavy destinations: replicate to every device
+        # (broadcast join for the hot hash range) instead of normal routing.
+        r_heavy = skew.replicate_mask_for_r(rd, heavy)
+        (rk_hb, rp_hb), h_ovf = _pack_by_dest(
+            jnp.zeros_like(rd), r_valid & r_heavy, cap, 1, rk, rp)
+        rk_hg = jax.lax.all_gather(rk_hb[0], AXIS).reshape(-1)
+        rp_hg = jax.lax.all_gather(rp_hb[0], AXIS).reshape(-1)
+        rk_h = (rk_hg, rp_hg)
+        r_valid = r_valid & ~r_heavy
+        heavy_cnt = h_ovf
+        heavy_cnt = jax.lax.psum(heavy_cnt, AXIS)
+
     # PAD tuples (bloom-pruned / capacity padding) are dropped at pack time —
     # the point of pruning before the shuffle is that they cross no wire.
-    (rk_b, rp_b), r_ovf = _pack_by_dest(rd, rk != PAD, cap, n_dev, rk, rp)
-    (sk_b, sp_b), s_ovf = _pack_by_dest(sd, sk != PAD, cap, n_dev, sk, sp)
+    (rk_b, rp_b), r_ovf = _pack_by_dest(rd, r_valid, cap, n_dev, rk, rp)
+    (sk_b, sp_b), s_ovf = _pack_by_dest(sd, s_valid, cap, n_dev, sk, sp)
 
     rk_x = jax.lax.all_to_all(rk_b, AXIS, 0, 0, tiled=False).reshape(-1)
     rp_x = jax.lax.all_to_all(rp_b, AXIS, 0, 0, tiled=False).reshape(-1)
     sk_x = jax.lax.all_to_all(sk_b, AXIS, 0, 0, tiled=False).reshape(-1)
     sp_x = jax.lax.all_to_all(sp_b, AXIS, 0, 0, tiled=False).reshape(-1)
+
+    if rk_h is not None:
+        rk_x = jnp.concatenate([rk_x, rk_h[0]])
+        rp_x = jnp.concatenate([rp_x, rk_h[1]])
 
     # PAD rows on the R side must not join with PAD rows on the S side:
     # retag S pads to a second sentinel.
@@ -112,18 +142,19 @@ def _dist_join_step(rk, rp, sk, sp, n_dev: int, cap: int,
     cnt = jax.lax.psum(cnt, AXIS)
     sr = jax.lax.psum(sr, AXIS)
     ss = jax.lax.psum(ss, AXIS)
-    ovf = jax.lax.psum(r_ovf + s_ovf, AXIS)
+    ovf = jax.lax.psum(r_ovf + s_ovf, AXIS) + heavy_cnt
     return cnt, sr, ss, s_after, ovf
 
 
 def dist_join_count(mesh, rk, rp, sk, sp,
                     bloom_args: Optional[BloomArgs] = None,
-                    pad_factor: float = 2.0):
+                    pad_factor: float = 2.0, skew_handling: bool = False):
     """Distributed join count over `mesh` (inputs sharded on axis "d").
 
     Returns (count, sum_rpay, sum_spay, s_after_filter, overflow); overflow>0
     means the capacity pad was too small for the hash skew — results are then
-    invalid and the caller should retry with a larger pad_factor.
+    invalid and the caller should retry with a larger pad_factor (or enable
+    skew_handling, which splits heavy destinations).
     """
     n_dev = mesh.shape[AXIS]
     n_loc = rk.shape[0] // n_dev
@@ -131,7 +162,8 @@ def dist_join_count(mesh, rk, rp, sk, sp,
     cap = int(max(n_loc, ns_loc) / n_dev * pad_factor) + 16
 
     step = jax.shard_map(
-        partial(_dist_join_step, n_dev=n_dev, cap=cap, bloom_args=bloom_args),
+        partial(_dist_join_step, n_dev=n_dev, cap=cap, bloom_args=bloom_args,
+                skew_handling=skew_handling),
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
         out_specs=(P(), P(), P(), P(), P()),

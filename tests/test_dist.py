@@ -39,6 +39,19 @@ def test_dist_bloom_prunes_before_shuffle(eight_devices, workload):
     assert want[0] <= int(s_after) < sk.shape[0]
 
 
+def test_dist_zipf_skew_handling(eight_devices):
+    """replicate-R/split-S keeps exact counts with a small pad factor."""
+    p = G.WorkloadParams(r_size=2_048, s_size=16_384, nthreads=2, skew=1.0)
+    rk, rp, sk, sp = G.build_workload(p)
+    want = native.ref_join(rk, rp, sk, sp)
+    mesh = mesh_lib.make_mesh(8)
+    cnt, sr, ss, _, ovf = dist_join.dist_join_count(
+        mesh, rk, rp, sk, sp, pad_factor=3.0, skew_handling=True)
+    assert int(ovf) == 0
+    assert int(cnt) == want[0] == 16_384
+    assert int(sr) == want[1] % 2**32 and int(ss) == want[2] % 2**32
+
+
 def test_dist_zipf_skew(eight_devices):
     # z=1.0 probe-side skew: heavy keys all land on one device's partition;
     # generous pad absorbs it (dedicated skew splitting in parallel/skew.py)
