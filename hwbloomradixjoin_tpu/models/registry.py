@@ -42,7 +42,13 @@ ALGORITHMS = {
 def _count_fn(spec: AlgoSpec, cfg: EngineConfig,
               bloom_args: Optional[BloomArgs],
               r_stats=None):
-    """Return a jittable (rk, rp, sk, sp) -> (count, sr, ss, s_after|-1)."""
+    """Return a jittable (rk, rp, sk, sp, chain) -> (count, sr, ss, s_after|-1).
+
+    `chain` is an int32 scalar folded into the result as a no-op (+chain*0):
+    threading the previous repeat's count through it serializes repeated
+    executions on-device so timing loops measure real work (the remote
+    runtime caches identical dispatches) without changing any output.
+    """
     use_pallas = cfg.radix.use_pallas and jax.default_backend() == "tpu"
     # Planner: declared dense-PK build side + count-only query -> perfect-hash
     # fast path (ops/dense_join.py).  Bloom twins still report the filter's
@@ -58,17 +64,18 @@ def _count_fn(spec: AlgoSpec, cfg: EngineConfig,
         interp = False
 
         if bloom_args is None:
-            def fn(rk, rp, sk, sp):
+            def fn(rk, rp, sk, sp, chain):
                 c, ss = dense_join.dense_count_join(sk, sp, lo, hi,
-                                                    interpret=interp)
+                                                    interpret=interp,
+                                                    chain=chain)
                 return c, jnp.uint32(0), ss, jnp.int32(-1)
             return fn
 
-        def fn(rk, rp, sk, sp):
+        def fn(rk, rp, sk, sp, chain):
             mask, s_after = bloom_join.bloom_prune(rk, sk, bloom_args)
             sk_f = jnp.where(mask, sk, jnp.int32(-2147483648))
             c, ss = dense_join.dense_count_join(sk_f, sp, lo, hi,
-                                                interpret=interp)
+                                                interpret=interp, chain=chain)
             return c, jnp.uint32(0), ss, s_after
         return fn
     if use_pallas:
@@ -77,35 +84,37 @@ def _count_fn(spec: AlgoSpec, cfg: EngineConfig,
         except ImportError:
             use_pallas = False
     if spec.family == "npo":
-        def fn(rk, rp, sk, sp):
+        def fn(rk, rp, sk, sp, chain):
             c, sr, ss = npo.npo_count(rk, rp, sk, sp)
-            return c, sr, ss, jnp.int32(-1)
+            return c + chain * 0, sr, ss, jnp.int32(-1)
         return fn
     if bloom_args is not None:
         if use_pallas:
             from hwbloomradixjoin_tpu.ops import radix as radix_ops
 
-            def fn(rk, rp, sk, sp):
-                return radix_ops.bloom_radix_join_pallas(
+            def fn(rk, rp, sk, sp, chain):
+                c, sr, ss, s_after = radix_ops.bloom_radix_join_pallas(
                     rk, rp, sk, sp, cfg.radix, bloom_args, variant=spec.name)
+                return c + chain * 0, sr, ss, s_after
             return fn
 
-        def fn(rk, rp, sk, sp):
-            return bloom_join.bloom_radix_count(rk, rp, sk, sp, bloom_args,
-                                                variant="B" + spec.name)
+        def fn(rk, rp, sk, sp, chain):
+            c, sr, ss, s_after = bloom_join.bloom_radix_count(
+                rk, rp, sk, sp, bloom_args, variant="B" + spec.name)
+            return c + chain * 0, sr, ss, s_after
         return fn
     if use_pallas:
         from hwbloomradixjoin_tpu.ops import radix as radix_ops
 
-        def fn(rk, rp, sk, sp):
+        def fn(rk, rp, sk, sp, chain):
             c, sr, ss = radix_ops.radix_join_pallas(rk, rp, sk, sp, cfg.radix,
                                                     variant=spec.name)
-            return c, sr, ss, jnp.int32(-1)
+            return c + chain * 0, sr, ss, jnp.int32(-1)
         return fn
 
-    def fn(rk, rp, sk, sp):
+    def fn(rk, rp, sk, sp, chain):
         c, sr, ss = radix_join.radix_count(rk, rp, sk, sp, variant=spec.name)
-        return c, sr, ss, jnp.int32(-1)
+        return c + chain * 0, sr, ss, jnp.int32(-1)
     return fn
 
 

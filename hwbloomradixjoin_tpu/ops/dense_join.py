@@ -30,13 +30,16 @@ LANES = 128
 
 
 def _make_kernel(lo: int, hi: int):
-    def kernel(k_ref, p_ref, out_ref, acc_ref):
+    def kernel(chain_ref, k_ref, p_ref, out_ref, acc_ref):
         i = pl.program_id(0)
         n = pl.num_programs(0)
 
         @pl.when(i == 0)
         def _():
-            acc_ref[0] = 0
+            # chain*0: value-free data dependency on the previous repeat so
+            # back-to-back benchmark executions cannot be elided or served
+            # from any dispatch cache (results are unchanged)
+            acc_ref[0] = chain_ref[0] * 0
             acc_ref[1] = 0
 
         keys = k_ref[:]
@@ -57,13 +60,16 @@ def _make_kernel(lo: int, hi: int):
 
 @partial(jax.jit, static_argnames=("lo", "hi", "block_rows", "interpret"))
 def dense_count_join(s_key, s_pay, lo: int, hi: int, block_rows: int = 2048,
-                     interpret: bool = False):
+                     interpret: bool = False, chain=None):
     """Streaming count join against a dense PK build side [lo, hi].
 
     Returns (count:int32, sum_s_payload:uint32).  Inputs are flat int32
     arrays; length must be a multiple of 128 (callers pad with PAD_KEY,
-    which is < lo for all valid lo >= 0 and so never matches).
+    which is < lo for all valid lo >= 0 and so never matches).  `chain` is an
+    optional int32 scalar folded in as a no-op (see _make_kernel).
     """
+    if chain is None:
+        chain = jnp.int32(0)
     n = s_key.shape[0]
     assert n % LANES == 0
     rows = n // LANES
@@ -84,6 +90,7 @@ def dense_count_join(s_key, s_pay, lo: int, hi: int, block_rows: int = 2048,
         _make_kernel(lo, hi),
         grid=(grid,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
@@ -93,7 +100,7 @@ def dense_count_join(s_key, s_pay, lo: int, hi: int, block_rows: int = 2048,
         out_shape=jax.ShapeDtypeStruct((1, 2), jnp.int32),
         scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
         interpret=interpret,
-    )(k2, p2)
+    )(chain.reshape(1), k2, p2)
     return out[0, 0], out[0, 1].astype(jnp.uint32)
 
 
