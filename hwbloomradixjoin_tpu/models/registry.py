@@ -135,15 +135,18 @@ def run_join(name: str, R: Relation, S: Relation,
         bloom_args = None  # B_NPO wrappers ignore the filter (main.c:296-312)
     fn = jax.jit(_count_fn(spec, cfg, bloom_args, r_stats=R.stats))
 
+    chain0 = jnp.int32(0)
     t0 = time.perf_counter()
-    compiled = fn.lower(R.key, R.payload, S.key, S.payload).compile()
+    compiled = fn.lower(R.key, R.payload, S.key, S.payload, chain0).compile()
     # warm-up execution: some backends defer final codegen/load to first run
-    jax.block_until_ready(compiled(R.key, R.payload, S.key, S.payload))
+    jax.block_until_ready(compiled(R.key, R.payload, S.key, S.payload, chain0))
     compile_usec = (time.perf_counter() - t0) * 1e6
 
+    chain = chain0
     t0 = time.perf_counter()
     for _ in range(inner_repeats):
-        c, sr, ss, s_after = compiled(R.key, R.payload, S.key, S.payload)
+        c, sr, ss, s_after = compiled(R.key, R.payload, S.key, S.payload, chain)
+        chain = (c * 0).astype(jnp.int32)  # data dependence between repeats
     c = int(c)  # host readback syncs the full pipeline
     total_usec = (time.perf_counter() - t0) * 1e6 / inner_repeats
 
