@@ -78,44 +78,72 @@ def _count_fn(spec: AlgoSpec, cfg: EngineConfig,
                                                 interpret=interp, chain=chain)
             return c, jnp.uint32(0), ss, s_after
         return fn
-    if use_pallas:
-        try:
-            from hwbloomradixjoin_tpu.ops import radix  # noqa: F401
-        except ImportError:
-            use_pallas = False
     if spec.family == "npo":
         def fn(rk, rp, sk, sp, chain):
             c, sr, ss = npo.npo_count(rk, rp, sk, sp)
             return c + chain * 0, sr, ss, jnp.int32(-1)
         return fn
     if bloom_args is not None:
-        if use_pallas:
-            from hwbloomradixjoin_tpu.ops import radix as radix_ops
-
-            def fn(rk, rp, sk, sp, chain):
-                c, sr, ss, s_after = radix_ops.bloom_radix_join_pallas(
-                    rk, rp, sk, sp, cfg.radix, bloom_args, variant=spec.name)
-                return c + chain * 0, sr, ss, s_after
-            return fn
-
         def fn(rk, rp, sk, sp, chain):
             c, sr, ss, s_after = bloom_join.bloom_radix_count(
                 rk, rp, sk, sp, bloom_args, variant="B" + spec.name)
             return c + chain * 0, sr, ss, s_after
-        return fn
-    if use_pallas:
-        from hwbloomradixjoin_tpu.ops import radix as radix_ops
-
-        def fn(rk, rp, sk, sp, chain):
-            c, sr, ss = radix_ops.radix_join_pallas(rk, rp, sk, sp, cfg.radix,
-                                                    variant=spec.name)
-            return c + chain * 0, sr, ss, jnp.int32(-1)
         return fn
 
     def fn(rk, rp, sk, sp, chain):
         c, sr, ss = radix_join.radix_count(rk, rp, sk, sp, variant=spec.name)
         return c + chain * 0, sr, ss, jnp.int32(-1)
     return fn
+
+
+def _run_general_pallas(spec: AlgoSpec, R: Relation, S: Relation,
+                        cfg: EngineConfig, bloom_args: Optional[BloomArgs],
+                        inner_repeats: int):
+    """Host-orchestrated Pallas radix join (count mode).
+
+    The pipeline is three device programs with one host step between them
+    (partition starts -> gather descriptors; the reference's analogous host
+    role is task generation from histograms, parallel_radix_join.c:1130-1270).
+    Returns None when the Pallas tier cannot serve the query (bucket
+    overflow under heavy skew) so the caller falls back to the portable
+    XLA tier.  Payload checksums are not computed on this path (count-only,
+    like the reference's default non-materializing joins, main.c:117-123).
+    """
+    from hwbloomradixjoin_tpu.ops import radix as radix_ops
+
+    if bloom_args is not None:
+        @jax.jit
+        def prologue(rk, sk):
+            mask, s_after = bloom_join.bloom_prune(rk, sk, bloom_args)
+            return jnp.where(mask, sk, jnp.int32(Relation.PAD_KEY)), s_after
+        sk_in, s_after_dev = prologue(R.key, S.key)
+        s_after = int(s_after_dev)
+    else:
+        sk_in, s_after = S.key, -1
+
+    def once():
+        return radix_ops.radix_join_count_pallas(R.key, sk_in)
+
+    t0 = time.perf_counter()
+    cnt, overflow = once()  # compiles + builds descriptors
+    if overflow:
+        return None
+    compile_usec = (time.perf_counter() - t0) * 1e6
+
+    t0 = time.perf_counter()
+    for _ in range(inner_repeats):
+        cnt, _ = once()
+    c = int(cnt)
+    total_usec = (time.perf_counter() - t0) * 1e6 / inner_repeats
+
+    stats = JoinStats(
+        total_usec=total_usec, probe_usec=total_usec, result=c,
+        num_s_tuples=S.capacity,
+        s_after_filter=None if s_after < 0 else s_after,
+        compile_usec=compile_usec)
+    result = JoinResult(total_results=c,
+                        s_after_filter=None if s_after < 0 else s_after)
+    return result, stats, (0, 0)
 
 
 def run_join(name: str, R: Relation, S: Relation,
@@ -133,6 +161,16 @@ def run_join(name: str, R: Relation, S: Relation,
     spec = ALGORITHMS[name]
     if spec.family == "npo":
         bloom_args = None  # B_NPO wrappers ignore the filter (main.c:296-312)
+
+    use_pallas = cfg.radix.use_pallas and jax.default_backend() == "tpu"
+    dense_ok = (R.stats is not None and R.stats.is_dense_pk
+                and not cfg.materialize and spec.family == "radix")
+    if use_pallas and spec.family == "radix" and not dense_ok \
+            and not cfg.materialize:
+        out = _run_general_pallas(spec, R, S, cfg, bloom_args, inner_repeats)
+        if out is not None:
+            return out
+
     fn = jax.jit(_count_fn(spec, cfg, bloom_args, r_stats=R.stats))
 
     chain0 = jnp.int32(0)

@@ -99,7 +99,9 @@ def _pack(arrs, sel, disp, direction: str):
     """
     n = arrs[0].shape[0] * LANES
     idx = _iota_flat(arrs[0].shape)
-    alive = sel
+    # alive mask kept as int32 0/1: rolling i1 vectors makes Mosaic round-trip
+    # them through i8 and trunci i8->i1 is unsupported in TC kernels
+    alive = sel.astype(jnp.int32)
     shift = _flat_shift_left if direction == "L" else _flat_shift_right
     k = 0
     while (1 << k) < n:
@@ -109,16 +111,16 @@ def _pack(arrs, sel, disp, direction: str):
         alive_in = shift(alive, d)
         # kill wrapped-in garbage at the boundary
         if direction == "L":
-            alive_in = alive_in & (idx < n - d)
+            alive_in = jnp.where(idx < n - d, alive_in, 0)
         else:
-            alive_in = alive_in & (idx >= d)
-        move_in = alive_in & (((disp_in >> k) & 1) == 1)
-        stay = alive & (((disp >> k) & 1) == 0)
+            alive_in = jnp.where(idx >= d, alive_in, 0)
+        move_in = (alive_in != 0) & (((disp_in >> k) & 1) == 1)
+        stay = (alive != 0) & (((disp >> k) & 1) == 0)
         arrs = [jnp.where(move_in, ai, a) for a, ai in zip(arrs, arrs_in)]
         disp = jnp.where(move_in, disp_in, disp)
-        alive = stay | move_in
+        alive = (stay | move_in).astype(jnp.int32)
         k += 1
-    return arrs, alive
+    return arrs, alive != 0
 
 
 def split_bit(cat, arrs, bit_idx: int):
@@ -127,7 +129,9 @@ def split_bit(cat, arrs, bit_idx: int):
     bit = (cat >> bit_idx) & 1
     zeros = 1 - bit
     excl0 = _flat_exclusive_prefix(zeros)
-    total0 = excl0[-1, LANES - 1] + zeros[-1, LANES - 1]
+    # total zeros in the chunk; jnp.sum (not a [-1,-1] scalar extract, which
+    # lowers to dynamic_slice — unimplemented in Mosaic TC kernels)
+    total0 = jnp.sum(zeros)
     all_arrs = [cat] + list(arrs)
     # zeros: dst = excl0 (move left by idx - excl0)
     packedL, aliveL = _pack(all_arrs, bit == 0, idx - excl0, "L")
@@ -262,7 +266,10 @@ class RadixGeom:
         self.part_bits = part_bits
         self.s_segs = s_segs
         self.r_segs = r_segs
-        self.cat_rows = (1 << part_bits) // LANES + 1  # buckets + pad cat
+        # buckets + pad category, rounded up to a multiple of 8 rows so the
+        # starts output block is Mosaic-tileable (sublane divisibility)
+        cr = ((1 << part_bits) + 1 + LANES - 1) // LANES
+        self.cat_rows = (cr + 7) & ~7
 
 DEFAULT_GEOM = RadixGeom()
 
