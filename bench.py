@@ -2,7 +2,13 @@
 
 Headline metric (BASELINE.json): join throughput in S-rows/s/chip on the
 radix-join workload, measured end-to-end on device (relations resident in
-HBM, one compiled program, dispatch overhead amortized).
+HBM, one compiled program, dispatch overhead amortized via chained repeats).
+
+The dense-PK planner fast path is DISABLED by default (BENCH_DENSE=1 to
+re-enable): the headline number is produced by the general radix machinery
+— Pallas MSB-radix partition of S + VMEM-resident exact-bitmap probe
+(ops/bitmap_join.py), with real partition/probe phase timing and HBM
+roofline attainment reported on stderr.
 
 Baseline: the reference's best full-scale CPU number — PRO 128M⋈1.024B at
 2.98 ns/tuple ≈ 335.6M rows/s (isengard, measurements/data/pkl/isengard.pkl,
@@ -24,12 +30,13 @@ def log(*a):
 
 
 def main():
-    # Workload: PRO-shaped 16M ⋈ 128M uniform (BASELINE.json config 2),
-    # scaled at full 128M⋈1.024B once the Pallas tier lands.
+    # Workload: PRO-shaped 16M ⋈ 128M uniform (BASELINE.json config 2);
+    # BENCH_R/BENCH_S scale it (128M⋈1.024B for the north-star config).
     r_size = int(os.environ.get("BENCH_R", 16_000_000))
     s_size = int(os.environ.get("BENCH_S", 128_000_000))
     algo = os.environ.get("BENCH_ALGO", "PRO")
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
+    allow_dense = os.environ.get("BENCH_DENSE", "0") == "1"
 
     import jax
 
@@ -37,8 +44,10 @@ def main():
     from hwbloomradixjoin_tpu.data import generator as G
     from hwbloomradixjoin_tpu.models import run_join
     from hwbloomradixjoin_tpu.types import Relation
+    from hwbloomradixjoin_tpu.utils import roofline
 
-    log(f"bench: {algo} {r_size}⋈{s_size} on {jax.devices()[0].device_kind}")
+    log(f"bench: {algo} {r_size}⋈{s_size} on {jax.devices()[0].device_kind}"
+        f" (dense fast path {'on' if allow_dense else 'OFF'})")
     t0 = time.perf_counter()
     params = G.WorkloadParams(r_size=r_size, s_size=s_size, nthreads=8,
                               selectivity=1.0)
@@ -47,17 +56,27 @@ def main():
 
     R = Relation.from_numpy(rk, rp, stats=G.r_key_stats(params))
     S = Relation.from_numpy(sk, sp)
-    cfg = EngineConfig(radix=RadixConfig())
+    cfg = EngineConfig(radix=RadixConfig(), allow_dense=allow_dense)
 
     inner = int(os.environ.get("BENCH_INNER", 8))
     best = None
     for i in range(repeats):
         result, stats, _ = run_join(algo, R, S, cfg, None, inner_repeats=inner)
-        log(f"run {i}: {stats.total_usec/1e6:.3f}s "
-            f"({stats.nsec_per_tuple:.3f} ns/tuple), results={result.count()}")
+        log(f"run {i}: tier={stats.tier} {stats.total_usec/1e6:.3f}s "
+            f"({stats.nsec_per_tuple:.3f} ns/tuple) part={stats.part_usec/1e3:.1f}ms "
+            f"build={stats.build_usec/1e3:.1f}ms probe={stats.probe_usec/1e3:.1f}ms "
+            f"results={result.count()}")
         if best is None or stats.total_usec < best.total_usec:
             best = stats
     expect = G.expected_uniform_match_count(s_size, 1.0)
+
+    # roofline attainment (the perf-counter replacement, utils/roofline.py)
+    chip = roofline.chip_model()
+    costs = roofline.join_costs(r_size, s_size, passes=1)
+    measured = {"partition_S": best.part_usec / 1e6,
+                "probe": best.probe_usec / 1e6}
+    log(roofline.report(measured, costs, chip))
+
     if result.count() != expect:
         log(f"VALIDATION FAILED: {result.count()} != {expect}")
         value = 0.0
@@ -65,7 +84,8 @@ def main():
         value = s_size / (best.total_usec / 1e6)
 
     print(json.dumps({
-        "metric": f"{algo} join throughput ({r_size//10**6}M⋈{s_size//10**6}M, 1 chip)",
+        "metric": f"{algo} join throughput ({r_size//10**6}M⋈{s_size//10**6}M,"
+                  f" 1 chip, tier={best.tier})",
         "value": round(value, 0),
         "unit": "rows/s",
         "vs_baseline": round(value / BASELINE_ROWS_PER_S, 4),

@@ -97,3 +97,4 @@ class EngineConfig:
     skew_handling: bool = True     # heavy-partition splitting from histogram
     sync_stats: bool = False       # per-phase timing stats (SYNCSTATS analog)
     interpret: bool = False        # run Pallas kernels in interpreter mode
+    allow_dense: bool = True       # planner may take the dense-PK fast path

@@ -204,7 +204,8 @@ def r_key_stats(p: WorkloadParams):
 
     if p.fullrange_keys or p.nonunique_keys:
         return None
-    return KeyStats(min_key=1, max_key=p.r_size, is_dense_pk=True)
+    return KeyStats(min_key=1, max_key=p.r_size, is_dense_pk=True,
+                    is_unique=True)
 
 
 def expected_uniform_match_count(s_size: int, selectivity: float) -> int:

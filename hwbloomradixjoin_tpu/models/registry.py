@@ -3,22 +3,56 @@
 Mirrors the reference's algos[] table (src/main.c:331-339): six algorithm
 names, each with a plain and a bloom entry point (NPO/NPO_st ignore the
 filter exactly as the reference's B_NPO wrappers do, main.c:296-312).
+
+Tier selection (the planner) — TPU-first reasoning:
+
+The reference's algorithm ladder exists because CPU caches reward radix
+partitioning (PRO/PRH/PRHO) over a shared table (NPO).  On TPU the argument
+inverts: there is no cache hierarchy between VMEM and HBM for random
+gathers, so partitioning S costs two extra full HBM streams and buys the
+probe nothing — the hardware-conscious single-chip design is a
+perfect-addressed table probed by vectorized gathers (ops/ht_join.py), with
+radix partitioning reserved for (a) the distributed shuffle (parallel/) and
+(b) VMEM-resident builds (ops/radix.py Pallas tier).  Each named algorithm
+maps to a genuinely distinct execution strategy:
+
+  PRO   bucket-chain join      -> count-table join (chains replaced by
+                                  perfect-addressed multiplicity counts)
+  PRH   histogram re-order     -> global radix clustering via sort +
+                                  segmented merge scan (two timed phases)
+  PRHO  histogram + SIMD probe -> count-table, count-only vectorized probe
+                                  (checksums via a second fused pass)
+  RJ    single-threaded 2-pass -> Pallas chunk-partition + gathered probe
+                                  tier when geometry permits, else PRO path
+  NPO   shared hash table      -> count-table join
+  NPO_st single-threaded NPO   -> same, flagged single-device in dist mode
+
+Per-phase timing is real: each phase is a separate device dispatch,
+synchronized and wall-clocked (the steady-state throughput loop then runs
+the fused program).  The reference's equivalent is the barrier-delimited
+rdtsc spans in prj_thread (parallel_radix_join_bloom.c:1509-1547).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
-from functools import partial
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 
 from hwbloomradixjoin_tpu.config import BloomArgs, EngineConfig
-from hwbloomradixjoin_tpu.models import bloom_join, npo, radix_join
-from hwbloomradixjoin_tpu.types import JoinResult, Relation
+from hwbloomradixjoin_tpu.models import bloom_join, npo
+from hwbloomradixjoin_tpu.ops import ht_join, xla_join
+from hwbloomradixjoin_tpu.types import JoinResult, KeyStats, Relation
 from hwbloomradixjoin_tpu.utils.timing import JoinStats
+
+# Key-range budget for the count-table tier: slots * 8B (count + paysum).
+# 2^28 slots = 2 GiB of tables — comfortable in 16 GiB HBM next to a 1B-row
+# probe side.  Beyond that the sort tier takes over.
+HT_MAX_SLOTS = 1 << 28
 
 
 @dataclasses.dataclass(frozen=True)
@@ -39,77 +73,150 @@ ALGORITHMS = {
 }
 
 
-def _count_fn(spec: AlgoSpec, cfg: EngineConfig,
-              bloom_args: Optional[BloomArgs],
-              r_stats=None):
-    """Return a jittable (rk, rp, sk, sp, chain) -> (count, sr, ss, s_after|-1).
+def _key_range(R: Relation):
+    """Static key range for the count-table tier; None if unusable.
 
-    `chain` is an int32 scalar folded into the result as a no-op (+chain*0):
-    threading the previous repeat's count through it serializes repeated
-    executions on-device so timing loops measure real work (the remote
-    runtime caches identical dispatches) without changing any output.
+    Uses declared stats when present; otherwise a one-off device min/max
+    (planning-time metadata collection, not in the timed path).
     """
-    use_pallas = cfg.radix.use_pallas and jax.default_backend() == "tpu"
-    # Planner: declared dense-PK build side + count-only query -> perfect-hash
-    # fast path (ops/dense_join.py).  Bloom twins still report the filter's
-    # survivor count (computed with the exact reference filter math) but the
-    # join itself needs no filtering — a dense PK probe is already exact.
-    dense_ok = (
-        r_stats is not None and r_stats.is_dense_pk and not cfg.materialize
-        and spec.family == "radix"
-    )
-    if dense_ok and use_pallas:
-        from hwbloomradixjoin_tpu.ops import dense_join
-        lo, hi = int(r_stats.min_key), int(r_stats.max_key)
-        interp = False
+    if R.stats is not None:
+        lo, hi = int(R.stats.min_key), int(R.stats.max_key)
+    else:
+        lo = int(jnp.min(R.key))
+        hi = int(jnp.max(R.key))
+    if hi - lo + 1 > HT_MAX_SLOTS or lo < -(1 << 30):
+        return None
+    return lo, hi
 
+
+def select_tier(spec: AlgoSpec, R: Relation, cfg: EngineConfig,
+                key_range) -> str:
+    """Pick the execution tier for this (algorithm, workload, config)."""
+    if R.key_hi is not None:
+        return "key8b"
+    dense_ok = (R.stats is not None and R.stats.is_dense_pk
+                and not cfg.materialize and cfg.allow_dense
+                and spec.family == "radix"
+                and jax.default_backend() == "tpu")
+    if dense_ok:
+        return "dense"
+    if cfg.materialize:
+        return "materialize"
+    if spec.name in ("PRO", "RJ") and cfg.radix.use_pallas \
+            and (jax.default_backend() == "tpu" or cfg.interpret) \
+            and key_range is not None \
+            and R.stats is not None and R.stats.is_unique:
+        return "pallas_radix"
+    if spec.name == "PRH" or key_range is None:
+        return "sortscan"
+    return "ht"
+
+
+def _phase_fns(spec: AlgoSpec, cfg: EngineConfig,
+               bloom_args: Optional[BloomArgs], tier: str, key_range):
+    """Build (phases, fused) where phases = [(phase_name, fn), ...].
+
+    Each phase fn is jittable; fn_i consumes the previous phase's outputs.
+    `fused` is the single-program composition used for the throughput loop.
+    The first phase takes (rk, rkh, rp, sk, skh, sp, chain); `chain` is an
+    int32 scalar folded in as a no-op so repeated executions serialize
+    on-device (the remote runtime caches identical dispatches).
+    """
+    PAD = jnp.int32(Relation.PAD_KEY)
+
+    def prune(rk, sk):
         if bloom_args is None:
-            def fn(rk, rp, sk, sp, chain):
-                c, ss = dense_join.dense_count_join(sk, sp, lo, hi,
-                                                    interpret=interp,
-                                                    chain=chain)
-                return c, jnp.uint32(0), ss, jnp.int32(-1)
-            return fn
+            return sk, jnp.int32(-1)
+        mask, s_after = bloom_join.bloom_prune(rk, sk, bloom_args)
+        return jnp.where(mask, sk, PAD), s_after
 
-        def fn(rk, rp, sk, sp, chain):
-            mask, s_after = bloom_join.bloom_prune(rk, sk, bloom_args)
-            sk_f = jnp.where(mask, sk, jnp.int32(-2147483648))
-            c, ss = dense_join.dense_count_join(sk_f, sp, lo, hi,
-                                                interpret=interp, chain=chain)
-            return c, jnp.uint32(0), ss, s_after
-        return fn
-    if spec.family == "npo":
-        def fn(rk, rp, sk, sp, chain):
-            c, sr, ss = npo.npo_count(rk, rp, sk, sp)
+    if tier == "key8b":
+        def fused(rk, rkh, rp, sk, skh, sp, chain):
+            c, sr, ss = xla_join.sort_scan_count_wide(rkh, rk, rp, skh, sk, sp)
             return c + chain * 0, sr, ss, jnp.int32(-1)
-        return fn
-    if bloom_args is not None:
-        def fn(rk, rp, sk, sp, chain):
-            c, sr, ss, s_after = bloom_join.bloom_radix_count(
-                rk, rp, sk, sp, bloom_args, variant="B" + spec.name)
+        return [], fused
+
+    if tier == "dense":
+        from hwbloomradixjoin_tpu.ops import dense_join
+        lo, hi = key_range
+
+        def fused(rk, rkh, rp, sk, skh, sp, chain):
+            sk2, s_after = prune(rk, sk)
+            c, ss = dense_join.dense_count_join(sk2, sp, lo, hi,
+                                                interpret=False, chain=chain)
+            return c, jnp.uint32(0), ss, s_after
+        return [], fused
+
+    if tier == "materialize":
+        def fused(rk, rkh, rp, sk, skh, sp, chain):
+            sk2, s_after = prune(rk, sk)
+            cnt, out_r, out_s, out_k = xla_join.sort_scan_materialize(
+                rk, rp, sk2, sp)
+            return cnt + chain * 0, out_r, out_s, out_k, s_after
+        return [], fused
+
+    if tier == "sortscan":
+        # PRH shape: phase 1 = global radix clustering (the sort — the
+        # reference's multi-pass partition taken to its contiguous
+        # conclusion); phase 2 = segmented merge scan (build+probe fused).
+        def part_phase(rk, rkh, rp, sk, skh, sp, chain):
+            sk2, s_after = prune(rk, sk)
+            nr = rk.shape[0]
+            key = jnp.concatenate([rk, sk2])
+            tag = jnp.concatenate([jnp.zeros(nr, jnp.int32),
+                                   jnp.ones(sk.shape[0], jnp.int32)])
+            pay = jnp.concatenate([rp, sp])
+            key, tag, pay = jax.lax.sort((key, tag, pay), num_keys=2)
+            return (key, tag, pay, s_after, chain)
+
+        def probe_phase(carry):
+            key, tag, pay, s_after, chain = carry
+            c, sr, ss = xla_join.scan_sorted_count(key, tag, pay)
             return c + chain * 0, sr, ss, s_after
-        return fn
 
-    def fn(rk, rp, sk, sp, chain):
-        c, sr, ss = radix_join.radix_count(rk, rp, sk, sp, variant=spec.name)
-        return c + chain * 0, sr, ss, jnp.int32(-1)
-    return fn
+        def fused(rk, rkh, rp, sk, skh, sp, chain):
+            return probe_phase(part_phase(rk, rkh, rp, sk, skh, sp, chain))
+        return [("part", part_phase), ("probe", probe_phase)], fused
+
+    if tier == "ht":
+        lo, hi = key_range
+        # On TPU the reference's SIMD-probe variant (PRHO) and the shared-
+        # table probe collapse into the same fully-vectorized gather probe;
+        # checksums ride along (the reference always reports them).
+        cksum = True
+
+        def build_phase(rk, rkh, rp, sk, skh, sp, chain):
+            sk2, s_after = prune(rk, sk)
+            cnt_tbl, pay_tbl = ht_join.build_tables(rk, rp, lo, hi,
+                                                    with_paysum=cksum)
+            return (cnt_tbl, pay_tbl, sk2, sp, s_after, chain)
+
+        def probe_phase(carry):
+            cnt_tbl, pay_tbl, sk2, sp, s_after, chain = carry
+            c, sr, ss = ht_join.probe_tables(cnt_tbl, pay_tbl, sk2, sp, lo, hi)
+            return c + chain * 0, sr, ss, s_after
+
+        def fused(rk, rkh, rp, sk, skh, sp, chain):
+            return probe_phase(build_phase(rk, rkh, rp, sk, skh, sp, chain))
+        return [("build", build_phase), ("probe", probe_phase)], fused
+
+    raise ValueError(f"unknown tier {tier}")
 
 
-def _run_general_pallas(spec: AlgoSpec, R: Relation, S: Relation,
-                        cfg: EngineConfig, bloom_args: Optional[BloomArgs],
-                        inner_repeats: int):
-    """Host-orchestrated Pallas radix join (count mode).
+def _run_pallas_radix(spec: AlgoSpec, R: Relation, S: Relation,
+                      cfg: EngineConfig, bloom_args: Optional[BloomArgs],
+                      inner_repeats: int, key_range):
+    """PRO/RJ: the Pallas MSB-radix partition + VMEM bitmap probe engine.
 
-    The pipeline is three device programs with one host step between them
-    (partition starts -> gather descriptors; the reference's analogous host
-    role is task generation from histograms, parallel_radix_join.c:1130-1270).
-    Returns None when the Pallas tier cannot serve the query (bucket
-    overflow under heavy skew) so the caller falls back to the portable
-    XLA tier.  Payload checksums are not computed on this path (count-only,
-    like the reference's default non-materializing joins, main.c:117-123).
+    ops/bitmap_join.py — partition fuses range pruning (and any bloom-
+    pruned PAD slots) into pass 1; the probe keeps each bucket's exact
+    filter slice VMEM-resident.  Returns None when the probe window can't
+    serve the partition layout (heavy skew) — caller falls back.
     """
-    from hwbloomradixjoin_tpu.ops import radix as radix_ops
+    from hwbloomradixjoin_tpu.ops import bitmap_join
+
+    interpret = cfg.interpret or jax.default_backend() != "tpu"
+    lo, hi = key_range
 
     if bloom_args is not None:
         @jax.jit
@@ -121,27 +228,31 @@ def _run_general_pallas(spec: AlgoSpec, R: Relation, S: Relation,
     else:
         sk_in, s_after = S.key, -1
 
-    def once():
-        return radix_ops.radix_join_count_pallas(R.key, sk_in)
-
     t0 = time.perf_counter()
-    cnt, overflow = once()  # compiles + builds descriptors
-    if overflow:
+    plan = bitmap_join.plan_radix_join(R.key, sk_in, lo, hi,
+                                       interpret=interpret)
+    if plan is None:
         return None
     compile_usec = (time.perf_counter() - t0) * 1e6
 
-    t0 = time.perf_counter()
-    for _ in range(inner_repeats):
-        cnt, _ = once()
-    c = int(cnt)
-    total_usec = (time.perf_counter() - t0) * 1e6 / inner_repeats
+    # real per-phase device timing (separate synced dispatches, once)
+    part_usec = plan.time_partition()
+    probe_usec = plan.time_probe()
+    # steady state: descriptors cached in `plan`, host does only dispatches;
+    # the varying `chain` defeats the remote runtime's dispatch cache
+    total_usec = None
+    for i in range(max(1, inner_repeats)):
+        t0 = time.perf_counter()
+        cnt = plan.count(chain=i)
+        dt = (time.perf_counter() - t0) * 1e6
+        total_usec = dt if total_usec is None else min(total_usec, dt)
 
     stats = JoinStats(
-        total_usec=total_usec, probe_usec=total_usec, result=c,
-        num_s_tuples=S.capacity,
+        total_usec=total_usec, part_usec=part_usec, probe_usec=probe_usec,
+        result=cnt, num_s_tuples=S.capacity,
         s_after_filter=None if s_after < 0 else s_after,
-        compile_usec=compile_usec)
-    result = JoinResult(total_results=c,
+        compile_usec=compile_usec, tier="pallas_radix")
+    result = JoinResult(total_results=cnt,
                         s_after_filter=None if s_after < 0 else s_after)
     return result, stats, (0, 0)
 
@@ -150,53 +261,90 @@ def run_join(name: str, R: Relation, S: Relation,
              cfg: EngineConfig = EngineConfig(),
              bloom_args: Optional[BloomArgs] = None,
              inner_repeats: int = 1):
-    """Execute a named join algorithm; returns (JoinResult, JoinStats).
+    """Execute a named join algorithm; returns (JoinResult, JoinStats, sums).
 
     The whole join is one compiled XLA program; compile time is excluded from
     the reported runtime (first call warms the cache).  inner_repeats > 1
-    issues that many back-to-back executions and reports the mean — device
-    dispatches pipeline, amortizing host->device dispatch latency (the
-    remote-tunnel floor is ~25ms, comparable to small-join device time).
+    issues that many back-to-back executions and reports the mean.  Phase
+    times (build/part/probe) come from one separately-dispatched, device-
+    synchronized execution of each phase sub-program.
     """
     spec = ALGORITHMS[name]
     if spec.family == "npo":
         bloom_args = None  # B_NPO wrappers ignore the filter (main.c:296-312)
 
-    use_pallas = cfg.radix.use_pallas and jax.default_backend() == "tpu"
-    dense_ok = (R.stats is not None and R.stats.is_dense_pk
-                and not cfg.materialize and spec.family == "radix")
-    if use_pallas and spec.family == "radix" and not dense_ok \
-            and not cfg.materialize:
-        out = _run_general_pallas(spec, R, S, cfg, bloom_args, inner_repeats)
+    key_range = _key_range(R) if R.key_hi is None else None
+    tier = select_tier(spec, R, cfg, key_range)
+
+    if tier == "pallas_radix":
+        out = _run_pallas_radix(spec, R, S, cfg, bloom_args, inner_repeats,
+                                key_range)
         if out is not None:
             return out
+        tier = "ht" if key_range is not None else "sortscan"
 
-    fn = jax.jit(_count_fn(spec, cfg, bloom_args, r_stats=R.stats))
+    phases, fused = _phase_fns(spec, cfg, bloom_args, tier, key_range)
 
+    zeros = jnp.zeros(0, jnp.int32)
+    rkh = R.key_hi if R.key_hi is not None else zeros
+    skh = S.key_hi if S.key_hi is not None else zeros
+    args = (R.key, rkh, R.payload, S.key, skh, S.payload)
     chain0 = jnp.int32(0)
+
+    fn = jax.jit(fused)
     t0 = time.perf_counter()
-    compiled = fn.lower(R.key, R.payload, S.key, S.payload, chain0).compile()
-    # warm-up execution: some backends defer final codegen/load to first run
-    jax.block_until_ready(compiled(R.key, R.payload, S.key, S.payload, chain0))
+    compiled = fn.lower(*args, chain0).compile()
+    jax.block_until_ready(compiled(*args, chain0))
     compile_usec = (time.perf_counter() - t0) * 1e6
+
+    # real per-phase timing: dispatch each phase separately, synced
+    phase_usec: dict[str, float] = {}
+    if phases:
+        jitted = [jax.jit(f) for _, f in phases]
+        carry = (*args, chain0)
+        first = True
+        for (pname, _), jf in zip(phases, jitted):
+            inp = carry if first else (carry,)
+            jax.block_until_ready(jf(*inp))  # warm
+            t0 = time.perf_counter()
+            carry = jax.block_until_ready(jf(*inp))
+            phase_usec[pname] = (time.perf_counter() - t0) * 1e6
+            first = False
 
     chain = chain0
     t0 = time.perf_counter()
     for _ in range(inner_repeats):
-        c, sr, ss, s_after = compiled(R.key, R.payload, S.key, S.payload, chain)
-        chain = (c * 0).astype(jnp.int32)  # data dependence between repeats
-    c = int(c)  # host readback syncs the full pipeline
+        out = compiled(*args, chain)
+        chain = (out[0] * 0).astype(jnp.int32)
+    c = int(out[0])  # host readback syncs the full pipeline
     total_usec = (time.perf_counter() - t0) * 1e6 / inner_repeats
 
-    s_after_i = int(s_after)
+    if tier == "materialize":
+        _, out_r, out_s, out_k, s_after = out
+        sr = jnp.uint32(0)
+        ss = jnp.uint32(0)
+        result = JoinResult(total_results=c, r_payload=out_r, s_payload=out_s,
+                            s_after_filter=None)
+    else:
+        _, sr, ss, s_after = out
+        s_after_i = int(s_after)
+        result = JoinResult(
+            total_results=c,
+            s_after_filter=None if s_after_i < 0 else s_after_i)
+
     stats = JoinStats(
         total_usec=total_usec,
-        probe_usec=total_usec,
+        build_usec=phase_usec.get("build", 0.0),
+        part_usec=phase_usec.get("part", 0.0),
+        probe_usec=phase_usec.get("probe", total_usec),
         result=c,
         num_s_tuples=S.capacity,
-        s_after_filter=None if s_after_i < 0 else s_after_i,
+        s_after_filter=result.s_after_filter if tier != "materialize"
+        else None,
         compile_usec=compile_usec,
+        tier=tier,
     )
-    result = JoinResult(total_results=c,
-                        s_after_filter=None if s_after_i < 0 else s_after_i)
+    if cfg.sync_stats:
+        from hwbloomradixjoin_tpu.utils.timing import print_sync_stats
+        print_sync_stats(stats, phase_usec)
     return result, stats, (int(sr), int(ss))

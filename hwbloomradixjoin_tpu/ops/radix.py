@@ -258,14 +258,27 @@ R_SEGS = 40                # R segments per probe chunk (320 rows)
 
 @functools.lru_cache(maxsize=None)
 class RadixGeom:
-    """Static kernel geometry (small variants for interpret-mode tests)."""
+    """Static kernel geometry (small variants for interpret-mode tests).
+
+    bucket of a key = ((key - lo) >> shift) & (2^part_bits - 1).
+    Defaults (lo=0, shift=0) give the reference's low-bit radix semantics
+    (parallel_radix_join.c:735); the bitmap-probe engine uses MSB range
+    partitioning (shift = range_bits - part_bits) so each bucket's filter
+    slice is a contiguous, VMEM-resident block.  With hi set, out-of-range
+    keys are dropped into the pad category during partitioning — the fused
+    prune-during-pass-1 dataflow of parallel_radix_join_bloom.c:798-849.
+    """
 
     def __init__(self, chunk_rows=CHUNK_ROWS, part_bits=PART_BITS,
-                 s_segs=S_SEGS, r_segs=R_SEGS):
+                 s_segs=S_SEGS, r_segs=R_SEGS,
+                 lo=0, hi=None, shift=0):
         self.chunk_rows = chunk_rows
         self.part_bits = part_bits
         self.s_segs = s_segs
         self.r_segs = r_segs
+        self.lo = lo
+        self.hi = hi
+        self.shift = shift
         # buckets + pad category, rounded up to a multiple of 8 rows so the
         # starts output block is Mosaic-tileable (sublane divisibility)
         cr = ((1 << part_bits) + 1 + LANES - 1) // LANES
@@ -278,8 +291,12 @@ def _partition_kernel_for(geom):
     def _partition_kernel(kin_ref, kout_ref, starts_ref):
         key = kin_ref[:]
         valid = key != PAD_KEY
-        bucket = (key & (
-            (1 << geom.part_bits) - 1))  # reference semantics: low key bits
+        if geom.hi is not None:
+            valid = valid & (key >= geom.lo) & (key <= geom.hi)
+        norm = key - jnp.int32(geom.lo)
+        bucket = jax.lax.shift_right_logical(
+            norm.astype(jnp.uint32), jnp.uint32(geom.shift)
+        ).astype(jnp.int32) & ((1 << geom.part_bits) - 1)
         cat = jnp.where(valid, bucket, 1 << geom.part_bits)
         cat_s, (key_s,) = split_chunk(cat, [key], geom.part_bits + 1)
         kout_ref[:] = key_s

@@ -37,12 +37,21 @@ def sort_scan_count(r_key, r_pay, s_key, s_pay):
     """
     nr = r_key.shape[0]
     ns = s_key.shape[0]
-    n = nr + ns
     key = jnp.concatenate([r_key, s_key])
     tag = jnp.concatenate([jnp.zeros(nr, jnp.int32), jnp.ones(ns, jnp.int32)])
     pay = jnp.concatenate([r_pay, s_pay])
     key, tag, pay = jax.lax.sort((key, tag, pay), num_keys=2)
+    return scan_sorted_count(key, tag, pay)
 
+
+def scan_sorted_count(key, tag, pay):
+    """The probe half of sort_scan_count: segmented scan over sorted input.
+
+    Split out so the driver can time the clustering (sort) and probe (scan)
+    phases as separate dispatches — the reference's PART vs PROBE split
+    (print_timing, parallel_radix_join_bloom.c:1509-1547).
+    """
+    n = key.shape[0]
     is_r = tag == 0
     boundary = jnp.concatenate([jnp.ones(1, bool), key[1:] != key[:-1]])
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -107,6 +116,46 @@ def sort_scan_materialize(r_key, r_pay, s_key, s_pay):
          jnp.where(matched, pay, 0),
          jnp.where(matched, key, jnp.int32(-2147483648))), num_keys=1)
     return count, out_r[:ns], out_s[:ns], out_k[:ns]
+
+
+def sort_scan_count_wide(r_hi, r_lo, r_pay, s_hi, s_lo, s_pay):
+    """sort_scan_count for 64-bit keys carried as (hi, lo) int32 columns.
+
+    The KEY_8B build of the reference widens intkey_t/value_t to int64
+    (src/types.h:22-28) — 16B tuples, workload A.  TPU-natively a 64-bit key
+    is two 32-bit lanes; the sort orders by (hi, lo-as-unsigned, tag) and
+    segments break where either word changes.
+    """
+    nr = r_lo.shape[0]
+    ns = s_lo.shape[0]
+    n = nr + ns
+    # flip sign bit so int32 sort orders lo as unsigned
+    flip = jnp.int32(-2147483648)
+    hi = jnp.concatenate([r_hi, s_hi])
+    lo = jnp.concatenate([r_lo, s_lo]) ^ flip
+    tag = jnp.concatenate([jnp.zeros(nr, jnp.int32), jnp.ones(ns, jnp.int32)])
+    pay = jnp.concatenate([r_pay, s_pay])
+    hi, lo, tag, pay = jax.lax.sort((hi, lo, tag, pay), num_keys=3)
+
+    is_r = tag == 0
+    boundary = jnp.concatenate(
+        [jnp.ones(1, bool), (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])])
+    idx = jnp.arange(n, dtype=jnp.int32)
+    seg_start = jax.lax.cummax(jnp.where(boundary, idx, jnp.int32(-1)))
+
+    r_flag = is_r.astype(jnp.uint32)
+    r_pref = jnp.cumsum(r_flag, dtype=jnp.uint32) - r_flag
+    rp_val = jnp.where(is_r, U.u32(pay), jnp.uint32(0))
+    rp_pref = jnp.cumsum(rp_val, dtype=jnp.uint32) - rp_val
+    r_in_seg = r_pref - r_pref[seg_start]
+    rp_in_seg = rp_pref - rp_pref[seg_start]
+    s_rows = ~is_r
+    count = jnp.sum(jnp.where(s_rows, r_in_seg, 0).astype(jnp.int32))
+    sum_rpay = jnp.sum(jnp.where(s_rows, rp_in_seg, jnp.uint32(0)),
+                       dtype=jnp.uint32)
+    sum_spay = jnp.sum(jnp.where(s_rows, U.u32(pay) * r_in_seg, jnp.uint32(0)),
+                       dtype=jnp.uint32)
+    return count, sum_rpay, sum_spay
 
 
 def hash_multiplicative(keys, bits: int):

@@ -73,10 +73,29 @@ def _pack_by_dest(dest, valid, cap: int, n_dev: int, *cols):
     return outs, overflow
 
 
-def _or_across_devices(x):
-    """Bitwise OR reduction across the mesh axis (all_gather + fold)."""
-    g = jax.lax.all_gather(x, AXIS)          # (D, ...)
-    return jax.lax.reduce(g, jnp.uint32(0), jax.lax.bitwise_or, (0,))
+def _or_across_devices(x, n_dev: int = 1):
+    """Bitwise OR reduction across the mesh axis, shard-wise.
+
+    A naive all_gather of the whole bitmap moves D*m bits to every device
+    (8x128 MB at the reference geometry m=2^30) and peaks at D*m memory.
+    Instead: reduce-scatter-style — all_to_all the bitmap in D shards so
+    device d receives everyone's shard d (D * m/D bits in), ORs them locally,
+    then all_gathers the reduced shards (m bits in).  Per-device traffic is
+    ~2*m independent of D, memory peak ~2*m.  (OR has no psum primitive, so
+    this is the collective-efficient formulation; the reference's analogue is
+    the relaxed atomic fetch-or into one shared bitmap, bloom_filter.c:84.)
+    """
+    if n_dev == 1:
+        return x
+    words = x.shape[0]
+    pad = (-words) % n_dev
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros(pad, x.dtype)])
+    shards = x.reshape(n_dev, -1)
+    recv = jax.lax.all_to_all(shards, AXIS, 0, 0, tiled=False)  # (D, m/D)
+    mine = jax.lax.reduce(recv, jnp.uint32(0), jax.lax.bitwise_or, (0,))
+    full = jax.lax.all_gather(mine, AXIS).reshape(-1)
+    return full[:words]
 
 
 @partial(jax.jit, static_argnames=("n_dev", "cap", "bloom_args",
@@ -88,7 +107,7 @@ def _dist_join_step(rk, rp, sk, sp, n_dev: int, cap: int,
     s_after = jnp.int32(-1)
     if bloom_args is not None:
         local_bitmap = bloom_ops.build_bitmap_xla(rk, bloom_args)
-        bitmap = _or_across_devices(local_bitmap)
+        bitmap = _or_across_devices(local_bitmap, n_dev)
         mask = bloom_ops.probe_bitmap_xla(bitmap, sk, bloom_args)
         # padding slots (PAD key) must not count as survivors
         mask = mask & (sk != PAD)

@@ -42,6 +42,9 @@ class KeyStats:
     min_key: int
     max_key: int
     is_dense_pk: bool = False
+    # keys declared unique (PRIMARY KEY); dense implies unique but not
+    # conversely — the bitmap radix engine requires uniqueness only
+    is_unique: bool = False
 
 
 @jax.tree_util.register_dataclass
@@ -57,6 +60,9 @@ class Relation:
 
     key: jax.Array
     payload: jax.Array
+    # KEY_8B mode (src/types.h:22-28): 64-bit keys ride as two int32 columns
+    # (key = high word, carried here; `key` holds the low word).  None = 32-bit.
+    key_hi: Optional[jax.Array] = None
     # dynamic number of valid tuples (scalar array); tuples beyond are padding
     num_valid: Optional[jax.Array] = None
     # static declared key constraints (not traced)
@@ -84,15 +90,31 @@ class Relation:
 
     @staticmethod
     def from_numpy(key: np.ndarray, payload: Optional[np.ndarray] = None,
-                   device=None, stats: Optional[KeyStats] = None) -> "Relation":
+                   device=None, stats: Optional[KeyStats] = None,
+                   key8b: bool = False) -> "Relation":
+        """Build a device relation; key8b splits int64 keys into hi/lo columns.
+
+        With key8b the input key array (any integer dtype) is widened to
+        int64 and carried as two int32 columns — the columnar KEY_8B layout
+        (16B tuples: key_hi, key_lo, payload, and an implied payload_hi of 0;
+        reference tuple_t with intkey_t=int64_t, src/types.h:22-40).
+        """
         if payload is None:
-            payload = np.arange(key.shape[0], dtype=key.dtype)
-        k = jnp.asarray(key)
+            payload = np.arange(key.shape[0], dtype=np.int32)
+        if key8b:
+            k64 = np.asarray(key, dtype=np.int64)
+            k = jnp.asarray((k64 & 0xFFFFFFFF).astype(np.uint32).view(np.int32))
+            khi = jnp.asarray((k64 >> 32).astype(np.int32))
+        else:
+            k = jnp.asarray(key)
+            khi = None
         p = jnp.asarray(payload)
         if device is not None:
             k = jax.device_put(k, device)
             p = jax.device_put(p, device)
-        return Relation(key=k, payload=p, stats=stats)
+            if khi is not None:
+                khi = jax.device_put(khi, device)
+        return Relation(key=k, payload=p, key_hi=khi, stats=stats)
 
     def to_numpy(self):
         n = self.key.shape[0] if self.num_valid is None else int(self.num_valid)

@@ -29,6 +29,7 @@ class JoinStats:
     num_s_tuples: int = 0
     s_after_filter: int | None = None
     compile_usec: float = 0.0
+    tier: str = ""                 # execution tier chosen by the planner
 
     @property
     def nsec_per_tuple(self) -> float:
@@ -49,6 +50,24 @@ class PhaseTimer:
         yield
         self.phases[name] = self.phases.get(name, 0.0) + (
             time.perf_counter() - t0) * 1e6
+
+
+def print_sync_stats(stats: JoinStats, phase_usec: dict[str, float]) -> None:
+    """SYNCSTATS analogue: per-phase device time table.
+
+    The reference's --enable-syncstats dumps per-thread barrier-wait spans
+    (parallel_radix_join_bloom.c:1710-1728); the deterministic SPMD engine
+    has no waits, so the equivalent diagnostic is the per-phase dispatch
+    breakdown plus the fused-vs-sum overhead.
+    """
+    print(f"[SYNC] tier={stats.tier} fused_total={stats.total_usec:.1f}us")
+    tot = 0.0
+    for name, us in phase_usec.items():
+        print(f"[SYNC]   phase {name:8s} {us:12.1f} us")
+        tot += us
+    if tot:
+        print(f"[SYNC]   phase-sum {tot:12.1f} us "
+              f"(fusion gain {tot - stats.total_usec:+.1f} us)")
 
 
 def print_timing(stats: JoinStats) -> str:
