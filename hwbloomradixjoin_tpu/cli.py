@@ -57,6 +57,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--engine-no-pallas", action="store_true")
     p.add_argument("--engine-repeats", type=int, default=1,
                    help="re-run the timed join N times, report the best")
+    p.add_argument("--key8b", action="store_true",
+                   help="16B tuples / int64 keys (reference --enable-key8B)")
+    p.add_argument("--materialize", action="store_true",
+                   help="materialize rid pairs (JOIN_RESULT_MATERIALIZE)")
+    p.add_argument("--out-file", default=None,
+                   help="write materialized result to this .tbl (Out.tbl)")
+    p.add_argument("--engine-sync-stats", action="store_true",
+                   help="per-phase dispatch breakdown (SYNCSTATS analog)")
+    p.add_argument("--engine-no-dense", action="store_true",
+                   help="disable the dense-PK planner fast path")
     return p
 
 
@@ -80,7 +90,7 @@ def main(argv=None) -> int:
     from hwbloomradixjoin_tpu.types import Relation
     from hwbloomradixjoin_tpu.utils.timing import print_timing
 
-    tuple_bytes = 8  # key8b selects int64 at EngineConfig level
+    tuple_bytes = 16 if args.key8b else 8
 
     def info_create(name, size, loading):
         mib = tuple_bytes * size / 1024.0 / 1024.0
@@ -93,7 +103,7 @@ def main(argv=None) -> int:
         r_size=args.r_size, s_size=args.s_size, r_seed=args.r_seed,
         s_seed=args.s_seed, nthreads=args.nthreads, skew=args.skew,
         selectivity=args.s_sel, nonunique_keys=args.non_unique,
-        fullrange_keys=args.full_range)
+        fullrange_keys=args.full_range, key8b=args.key8b)
 
     info_create("R", args.r_size, args.r_file is not None)
     if args.r_file or args.s_file:
@@ -116,15 +126,16 @@ def main(argv=None) -> int:
             variant=BloomVariant(args.bloom_filter), m=args.bloom_size,
             k=args.bloom_hashes, B=args.bloom_block_size)
 
-    radix = RadixConfig(use_pallas=not args.engine_no_pallas)
-    if args.engine_radix_bits is not None:
-        radix = RadixConfig(num_radix_bits=args.engine_radix_bits,
-                            use_pallas=not args.engine_no_pallas)
-    cfg = EngineConfig(radix=radix)
+    radix = RadixConfig(num_radix_bits=args.engine_radix_bits,
+                        use_pallas=not args.engine_no_pallas)
+    cfg = EngineConfig(radix=radix, key8b=args.key8b,
+                       materialize=args.materialize,
+                       sync_stats=args.engine_sync_stats,
+                       allow_dense=not args.engine_no_dense)
 
     r_stats = None if (args.r_file or args.s_file) else G.r_key_stats(params)
-    R = Relation.from_numpy(rk, rp, stats=r_stats)
-    S = Relation.from_numpy(sk, sp)
+    R = Relation.from_numpy(rk, rp, stats=r_stats, key8b=args.key8b)
+    S = Relation.from_numpy(sk, sp, key8b=args.key8b)
 
     best = None
     for _ in range(max(1, args.engine_repeats)):
@@ -134,6 +145,21 @@ def main(argv=None) -> int:
     result, stats = best
 
     print_timing(stats)
+    if args.materialize and args.out_file:
+        # write_result_relation equivalent (main.c:482-485, tuple_buffer.h)
+        import numpy as np
+        n = result.count()
+        tblio.write_relation(args.out_file,
+                             np.asarray(result.r_payload)[:n],
+                             np.asarray(result.s_payload)[:n])
+        print(f"[INFO ] Materialized result written to {args.out_file}")
+    if args.verbose:
+        from hwbloomradixjoin_tpu.utils import roofline
+        costs = roofline.join_costs(args.r_size, args.s_size, passes=1,
+                                    tuple_bytes=tuple_bytes)
+        measured = {"partition_S": stats.part_usec / 1e6,
+                    "probe": stats.probe_usec / 1e6}
+        print(roofline.report(measured, costs, roofline.chip_model()))
     print(f"[INFO ] Results = {result.count()}. DONE.")
     return 0
 

@@ -62,7 +62,10 @@ class RadixConfig:
     (pad_frac) because XLA shapes are static.
     """
 
-    num_radix_bits: int = 14      # total partition bits (2^bits partitions)
+    # total partition bits (2^bits partitions); None = the engine derives the
+    # minimum fan-out the key range forces (ops/bitmap_join.plan_geometry) —
+    # an explicit value sweeps the kernel like the reference's NUM_RADIX_BITS
+    num_radix_bits: int | None = None
     bits_per_pass: int = 7        # fanout per pass = 2^bits_per_pass
     pad_frac: float = 0.30        # per-partition capacity headroom over mean
     tile: int = 2048              # tuples per kernel tile
@@ -70,16 +73,16 @@ class RadixConfig:
 
     @property
     def fanout(self) -> int:
-        return 1 << self.num_radix_bits
+        return 1 << (self.num_radix_bits or 0)
 
     @property
     def num_passes(self) -> int:
-        return -(-self.num_radix_bits // self.bits_per_pass)
+        return -(-(self.num_radix_bits or 0) // self.bits_per_pass)
 
     def pass_bits(self) -> list[int]:
         """Bits consumed by each pass, MSB-first partitioning."""
         bits = []
-        rem = self.num_radix_bits
+        rem = self.num_radix_bits or 0
         while rem > 0:
             b = min(self.bits_per_pass, rem)
             bits.append(b)

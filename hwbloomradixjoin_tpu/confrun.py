@@ -98,7 +98,7 @@ def run_config(conf: dict) -> int:
                                B=b.get("B", 1024))
 
     radix = RadixConfig(
-        num_radix_bits=eng.get("radix_bits", 14),
+        num_radix_bits=eng.get("radix_bits"),
         use_pallas=eng.get("use_pallas", True))
     cfg = EngineConfig(radix=radix)
 

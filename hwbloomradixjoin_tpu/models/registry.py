@@ -16,14 +16,15 @@ radix partitioning reserved for (a) the distributed shuffle (parallel/) and
 (b) VMEM-resident builds (ops/radix.py Pallas tier).  Each named algorithm
 maps to a genuinely distinct execution strategy:
 
-  PRO   bucket-chain join      -> count-table join (chains replaced by
-                                  perfect-addressed multiplicity counts)
+  PRO   bucket-chain join      -> Pallas MSB-radix partition + VMEM
+                                  bitmap probe (ops/bitmap_join.py) for
+                                  unique build keys; count-table otherwise
   PRH   histogram re-order     -> global radix clustering via sort +
                                   segmented merge scan (two timed phases)
-  PRHO  histogram + SIMD probe -> count-table, count-only vectorized probe
-                                  (checksums via a second fused pass)
-  RJ    single-threaded 2-pass -> Pallas chunk-partition + gathered probe
-                                  tier when geometry permits, else PRO path
+  PRHO  histogram + SIMD probe -> count-table with fully vectorized gather
+                                  probe (the SIMD probe's TPU form)
+  RJ    single-pass radix      -> same Pallas engine as PRO (one partition
+                                  pass + probe), single-device in dist mode
   NPO   shared hash table      -> count-table join
   NPO_st single-threaded NPO   -> same, flagged single-device in dist mode
 
@@ -36,17 +37,16 @@ rdtsc spans in prj_thread (parallel_radix_join_bloom.c:1509-1547).
 from __future__ import annotations
 
 import dataclasses
-import os
 import time
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from hwbloomradixjoin_tpu.config import BloomArgs, EngineConfig
-from hwbloomradixjoin_tpu.models import bloom_join, npo
+from hwbloomradixjoin_tpu.models import bloom_join
 from hwbloomradixjoin_tpu.ops import ht_join, xla_join
-from hwbloomradixjoin_tpu.types import JoinResult, KeyStats, Relation
+from hwbloomradixjoin_tpu.types import JoinResult, Relation
 from hwbloomradixjoin_tpu.utils.timing import JoinStats
 
 # Key-range budget for the count-table tier: slots * 8B (count + paysum).
@@ -229,8 +229,9 @@ def _run_pallas_radix(spec: AlgoSpec, R: Relation, S: Relation,
         sk_in, s_after = S.key, -1
 
     t0 = time.perf_counter()
-    plan = bitmap_join.plan_radix_join(R.key, sk_in, lo, hi,
-                                       interpret=interpret)
+    plan = bitmap_join.plan_radix_join(
+        R.key, sk_in, lo, hi, interpret=interpret,
+        num_radix_bits=cfg.radix.num_radix_bits)
     if plan is None:
         return None
     compile_usec = (time.perf_counter() - t0) * 1e6

@@ -49,18 +49,26 @@ C_ROWS = 16                # DMA window rows per (chunk, bucket) run
 CH_PER_STEP = 32           # chunks gathered per probe grid step
 
 
-def plan_geometry(lo: int, hi: int, chunk_rows: int = radix_ops.CHUNK_ROWS):
+def plan_geometry(lo: int, hi: int, chunk_rows: int = radix_ops.CHUNK_ROWS,
+                  num_radix_bits: Optional[int] = None):
     """Derive (part_bits, shift, sl_rows) from the build-side key range.
 
     Each bucket covers 2^shift keys with shift in [12, 17]: the slice is
     then 1..32 vreg rows (<= 16 KiB) — VMEM-resident for the whole bucket
-    probe.  Fan-out is the minimum the range forces — fewer buckets =
-    fatter runs = fewer DMAs, the TPU analogue of 'never use more radix
-    bits than the caches force' (prj_params.h:15-22).
+    probe.  Default fan-out is the minimum the range forces — fewer
+    buckets = fatter runs = fewer DMAs, the TPU analogue of 'never use
+    more radix bits than the caches force' (prj_params.h:15-22).
+
+    num_radix_bits (RadixConfig / --engine-radix-bits) overrides the
+    fan-out within the hardware-valid window [range-17, range-12] — the
+    sweep axis of the reference's figure 9 (NUM_RADIX_BITS 12..17).
     """
     span = hi - lo + 1
     range_bits = max((max(span - 1, 1)).bit_length(), 12)
-    part_bits = max(range_bits - 17, 0)
+    lo_bits = max(range_bits - 17, 0)
+    hi_bits = max(range_bits - 12, 0)
+    part_bits = lo_bits if num_radix_bits is None else (
+        min(max(num_radix_bits, lo_bits), hi_bits))
     shift = range_bits - part_bits            # in [12, 17]
     sl_rows = 1 << (shift - 12)               # 1..32 vreg rows per slice
     return part_bits, shift, sl_rows
@@ -152,13 +160,19 @@ def _probe_kernel_for(sl_rows: int, c_rows: int, ch_per_step: int,
             cp.wait()
 
         sl = bm_ref[:]                       # (sl_rows, 128) bucket slice
-        a = acc[:]
-        for t in range(ch_per_step):
-            for u in range(c_rows // 8):
-                r = t * c_rows + u * 8
-                k = sbuf[r:r + 8, :]
-                flat = _iota_flat((8, LANES)) + u * 8 * LANES
-                ok = (flat >= vs_d[g, t]) & (flat < ve_d[g, t])
+        base_iota = _iota_flat((8, LANES))
+
+        # fori loops (not python unrolls) keep compiled size independent of
+        # the (c_rows, ch_per_step) geometry — only sl_rows is unrolled
+        def chunk_body(t, _):
+            vs = vs_d[g, t]
+            ve = ve_d[g, t]
+
+            def row_body(u, _):
+                r = pl.multiple_of(t * c_rows + u * 8, 8)
+                k = sbuf[pl.ds(r, 8), :]
+                flat = base_iota + u * (8 * LANES)
+                ok = (flat >= vs) & (flat < ve)
                 norm = k - jnp.int32(lo)
                 widx = (norm >> 5) & (wmask >> 5)
                 lane = widx & (LANES - 1)
@@ -173,9 +187,12 @@ def _probe_kernel_for(sl_rows: int, c_rows: int, ch_per_step: int,
                             jnp.broadcast_to(sl[j:j + 1], (8, LANES)),
                             lane, axis=1)
                         v = jnp.where(rowj == j, gth, v)
-                hit = jnp.where(ok, (v >> (norm & 31)) & 1, 0)
-                a = a + hit
-        acc[:] = a
+                acc[:] += jnp.where(ok, (v >> (norm & 31)) & 1, 0)
+                return 0
+
+            return jax.lax.fori_loop(0, c_rows // 8, row_body, 0)
+
+        jax.lax.fori_loop(0, ch_per_step, chunk_body, 0)
 
         @pl.when(g == ng - 1)
         def _():
@@ -239,13 +256,15 @@ class RadixJoinPlan:
 
 def plan_radix_join(r_key, s_key, lo: int, hi: int,
                     interpret: bool = False,
-                    chunk_rows: int = radix_ops.CHUNK_ROWS):
+                    chunk_rows: int = radix_ops.CHUNK_ROWS,
+                    num_radix_bits: Optional[int] = None):
     """Build a radix-join plan: bitmap, one partition pass, descriptors.
 
     Requires unique R keys in [lo, hi] (caller checks stats).  Returns None
     if the probe window capacity can't serve the partition layout.
     """
-    part_bits, shift, sl_rows = plan_geometry(lo, hi, chunk_rows)
+    part_bits, shift, sl_rows = plan_geometry(lo, hi, chunk_rows,
+                                              num_radix_bits)
     geom = radix_ops.RadixGeom(chunk_rows=chunk_rows, part_bits=part_bits,
                                lo=lo, hi=hi, shift=shift)
     chunk = chunk_rows * LANES

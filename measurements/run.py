@@ -135,7 +135,54 @@ def sweep_params(backend="auto"):
     return save_data(rows, "test_parameters")
 
 
-SWEEPS = {"quick": sweep_quick, "bloom": sweep_bloom, "params": sweep_params}
+def sweep_radix_bits(backend="auto", r_size=1_000_000, s_size=8_000_000):
+    """Figure-9 analogue: NUM_RADIX_BITS sweep — a runtime knob here.
+
+    The reference sweeps 12..17 via sed+rebuild
+    (base_results/rerun-experiments.sh); the engine's valid window is
+    [range-17, range-12] bits (ops/bitmap_join.plan_geometry) so the sweep
+    covers the whole window plus the auto setting.
+    """
+    rows = []
+    range_bits = max((r_size - 1).bit_length(), 12)
+    for bits in [None] + list(range(max(range_bits - 17, 0),
+                                    max(range_bits - 12, 0) + 1)):
+        cfg = JoinConfig(algorithm="PRO", r_size=r_size, s_size=s_size,
+                         radix_bits=bits, backend=backend)
+        row = run_one(cfg)
+        row["radix-bits"] = -1 if bits is None else bits
+        rows.append(row)
+    return save_data(rows, "radix_bits")
+
+
+def sweep_never_single_pass(backend="auto", r_size=1_000_000,
+                            s_size=8_000_000):
+    """never_single_pass parity (reference run.py:205): fan-out x filter x k.
+
+    The reference's 1-vs-2-pass axis is NUM_PASSES; the engine's pass
+    structure is fan-out-driven (partition pass + VMEM probe pass), so the
+    axis here is minimum vs maximum fan-out x filter variant x k.
+    """
+    rows = []
+    range_bits = max((r_size - 1).bit_length(), 12)
+    fanouts = [max(range_bits - 17, 0), max(range_bits - 12, 0)]
+    for bits, variant, k in itertools.product(
+            fanouts, ("no", "basic", "blocked"), (1, 3)):
+        if variant == "no" and k != 1:
+            continue
+        cfg = JoinConfig(algorithm="PRO", r_size=r_size, s_size=s_size,
+                         selectivity=0.01, radix_bits=bits,
+                         bloom_filter=variant, bloom_size=1 << 26,
+                         bloom_hashes=k, backend=backend)
+        row = run_one(cfg)
+        row["radix-bits"] = bits
+        rows.append(row)
+    return save_data(rows, "never_single_pass")
+
+
+SWEEPS = {"quick": sweep_quick, "bloom": sweep_bloom, "params": sweep_params,
+          "radix_bits": sweep_radix_bits,
+          "never_single_pass": sweep_never_single_pass}
 
 
 if __name__ == "__main__":

@@ -1,0 +1,117 @@
+"""Bitmap radix-join engine + new planner tiers (interpret mode, CPU)."""
+
+import numpy as np
+import pytest
+
+from hwbloomradixjoin_tpu.config import EngineConfig, RadixConfig
+from hwbloomradixjoin_tpu.data import generator as G
+from hwbloomradixjoin_tpu.data import native
+from hwbloomradixjoin_tpu.models import run_join
+from hwbloomradixjoin_tpu.types import KeyStats, Relation
+
+
+def _workload(n_r=5000, n_s=40000, hi_mult=3, seed=0):
+    rng = np.random.default_rng(seed)
+    rk = rng.permutation(np.arange(1, n_r + 1)).astype(np.int32)
+    sk = rng.integers(1, hi_mult * n_r, n_s).astype(np.int32)
+    rp = np.arange(n_r, dtype=np.int32)
+    sp = np.arange(n_s, dtype=np.int32)
+    return rk, rp, sk, sp
+
+
+def test_bitmap_plan_count_exact():
+    import jax.numpy as jnp
+    from hwbloomradixjoin_tpu.ops import bitmap_join
+
+    rk, rp, sk, sp = _workload()
+    plan = bitmap_join.plan_radix_join(jnp.asarray(rk), jnp.asarray(sk),
+                                       1, 5000, interpret=True)
+    assert plan is not None
+    want, _, _ = native.ref_join(rk, rp, sk, sp)
+    assert plan.count() == want
+
+
+def test_bitmap_radix_bits_sweep_same_count():
+    """--engine-radix-bits changes the kernel geometry, not the answer."""
+    import jax.numpy as jnp
+    from hwbloomradixjoin_tpu.ops import bitmap_join
+
+    rk, rp, sk, sp = _workload(n_r=60000, n_s=50000, hi_mult=2)
+    want, _, _ = native.ref_join(rk, rp, sk, sp)
+    geoms = set()
+    for bits in (0, 2, 4):
+        plan = bitmap_join.plan_radix_join(
+            jnp.asarray(rk), jnp.asarray(sk), 1, 60000, interpret=True,
+            num_radix_bits=bits)
+        assert plan is not None
+        geoms.add(bitmap_join.plan_geometry(1, 60000, num_radix_bits=bits))
+        assert plan.count() == want
+    assert len(geoms) > 1  # the knob really changes geometry
+
+
+def test_run_join_pallas_radix_tier():
+    rk, rp, sk, sp = _workload()
+    want = native.ref_join(rk, rp, sk, sp)
+    stats = KeyStats(min_key=1, max_key=5000, is_unique=True)
+    R = Relation.from_numpy(rk, rp, stats=stats)
+    S = Relation.from_numpy(sk, sp)
+    cfg = EngineConfig(interpret=True)
+    res, st, _ = run_join("PRO", R, S, cfg)
+    assert st.tier == "pallas_radix"
+    assert res.count() == want[0]
+    assert st.part_usec > 0 and st.probe_usec > 0
+
+
+def test_run_join_key8b():
+    rk, rp, sk, sp = _workload()
+    want = native.ref_join(rk, rp, sk, sp)
+    R = Relation.from_numpy(rk, rp, key8b=True)
+    S = Relation.from_numpy(sk, sp, key8b=True)
+    assert R.key_hi is not None
+    res, st, (sr, ss) = run_join("PRO", R, S, EngineConfig())
+    assert st.tier == "key8b"
+    assert res.count() == want[0]
+    assert sr == want[1] % 2**32 and ss == want[2] % 2**32
+
+
+def test_run_join_materialize():
+    rk, rp, sk, sp = _workload(n_r=2000, n_s=8000, hi_mult=2)
+    R = Relation.from_numpy(rk, rp)
+    S = Relation.from_numpy(sk, sp)
+    res, st, _ = run_join("PRO", R, S, EngineConfig(materialize=True))
+    assert st.tier == "materialize"
+    pairs_native = native.ref_join(rk, rp, sk, sp)
+    assert res.count() == pairs_native[0]
+    # materialized pairs match ground truth as a multiset
+    got = set()
+    rpay = np.asarray(res.r_payload)[:res.count()]
+    spay = np.asarray(res.s_payload)[:res.count()]
+    got = sorted(zip(rpay.tolist(), spay.tolist()))
+    # ground truth via dict (unique R keys)
+    rmap = {int(k): int(p) for k, p in zip(rk, rp)}
+    want_pairs = sorted((rmap[int(k)], int(p))
+                        for k, p in zip(sk, sp) if int(k) in rmap)
+    assert got == want_pairs
+
+
+def test_run_join_ht_tier_phases():
+    rk, rp, sk, sp = _workload()
+    want = native.ref_join(rk, rp, sk, sp)
+    R = Relation.from_numpy(rk, rp)
+    S = Relation.from_numpy(sk, sp)
+    res, st, (sr, ss) = run_join("PRHO", R, S, EngineConfig())
+    assert st.tier == "ht"
+    assert res.count() == want[0]
+    assert st.build_usec > 0 and st.probe_usec > 0
+    assert sr == want[1] % 2**32
+
+
+def test_run_join_sortscan_part_phase():
+    rk, rp, sk, sp = _workload()
+    want = native.ref_join(rk, rp, sk, sp)
+    R = Relation.from_numpy(rk, rp)
+    S = Relation.from_numpy(sk, sp)
+    res, st, _ = run_join("PRH", R, S, EngineConfig())
+    assert st.tier == "sortscan"
+    assert res.count() == want[0]
+    assert st.part_usec > 0 and st.probe_usec > 0
