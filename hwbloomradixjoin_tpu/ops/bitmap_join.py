@@ -298,8 +298,9 @@ def plan_radix_join(r_key, s_key, lo: int, hi: int,
 
     probe_jit = jax.jit(probe_only)
     fused_jit = jax.jit(fused)
-    # warm both programs
+    # warm every program so steady-state and phase timings exclude compiles
     jax.block_until_ready(fused_jit(jnp.int32(0)))
+    jax.block_until_ready(probe_jit(jnp.int32(0)))
     return RadixJoinPlan(count_fn=fused_jit,
                          part_fn=lambda c: part(sk_in, c),
                          probe_fn=probe_jit,
