@@ -54,6 +54,9 @@ from hwbloomradixjoin_tpu.utils.timing import JoinStats
 # probe side.  Beyond that the sort tier takes over.
 HT_MAX_SLOTS = 1 << 28
 
+# (id(R.key), id(S.key-in), lo, hi, bits, interpret) -> (plan, pinned arrays)
+_PLAN_CACHE: dict = {}
+
 
 @dataclasses.dataclass(frozen=True)
 class AlgoSpec:
@@ -228,12 +231,22 @@ def _run_pallas_radix(spec: AlgoSpec, R: Relation, S: Relation,
     else:
         sk_in, s_after = S.key, -1
 
+    # plan cache: keyed on live array identities + static geometry, so
+    # repeated run_join calls on the same relations skip recompilation
+    # (descriptors depend on the data; id() is stable while caller holds
+    # the arrays, and a dead id cannot be looked up again by its holder)
+    ck = (id(R.key), id(sk_in), lo, hi, cfg.radix.num_radix_bits, interpret)
     t0 = time.perf_counter()
-    plan = bitmap_join.plan_radix_join(
-        R.key, sk_in, lo, hi, interpret=interpret,
-        num_radix_bits=cfg.radix.num_radix_bits)
+    plan = _PLAN_CACHE.get(ck)
     if plan is None:
-        return None
+        plan = bitmap_join.plan_radix_join(
+            R.key, sk_in, lo, hi, interpret=interpret,
+            num_radix_bits=cfg.radix.num_radix_bits)
+        if plan is None:
+            return None
+        _PLAN_CACHE[ck] = (plan, R.key, sk_in)  # pin arrays so ids stay valid
+    else:
+        plan = plan[0]
     compile_usec = (time.perf_counter() - t0) * 1e6
 
     # real per-phase device timing (separate synced dispatches, once)
