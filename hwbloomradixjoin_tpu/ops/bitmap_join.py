@@ -233,9 +233,14 @@ def bitmap_probe_count(bitmap, s_part, row_d, vs_d, ve_d, ngroups: int,
 
 @dataclasses.dataclass
 class RadixJoinPlan:
-    """Compiled + descriptor-cached radix join; steady state is device-only."""
+    """Compiled + descriptor-cached radix join; steady state is device-only.
 
-    count_fn: "callable"        # chain:int32 -> count (partition+probe fused)
+    count() issues the partition and probe programs back to back — the
+    probe consumes the fresh partition output, so repeats serialize
+    on-device (real work each time) while the two dispatches pipeline.
+    """
+
+    count_fn: "callable"        # chain:int32 -> count (partition -> probe)
     part_fn: "callable"         # chain -> partitioned S (for phase timing)
     probe_fn: "callable"        # chain -> count (probe only, cached partition)
     s_tuples: int
@@ -284,24 +289,20 @@ def plan_radix_join(r_key, s_key, lo: int, hi: int,
     row_d, vs_d, ve_d, ngroups, c_rows, ch_per_step = descs
     row_d, vs_d, ve_d = (jnp.asarray(a) for a in (row_d, vs_d, ve_d))
 
-    def probe_only(chain):
+    def probe_arg(sp2, chain):
         return bitmap_probe_count(
-            bitmap, s_part, row_d + chain * 0, vs_d, ve_d, ngroups, sl_rows,
+            bitmap, sp2, row_d + chain * 0, vs_d, ve_d, ngroups, sl_rows,
             lo, interpret=interpret, c_rows=c_rows, ch_per_step=ch_per_step)
 
-    def fused(chain):
-        sp2, _ = radix_ops.partition_pass(sk_in + chain * 0,
-                                          interpret=interpret, geom=geom)
-        return bitmap_probe_count(
-            bitmap, sp2, row_d, vs_d, ve_d, ngroups, sl_rows, lo,
-            interpret=interpret, c_rows=c_rows, ch_per_step=ch_per_step)
+    probe_jit = jax.jit(probe_arg)
+    # warm so steady-state and phase timings exclude compiles
+    jax.block_until_ready(probe_jit(s_part, jnp.int32(0)))
 
-    probe_jit = jax.jit(probe_only)
-    fused_jit = jax.jit(fused)
-    # warm every program so steady-state and phase timings exclude compiles
-    jax.block_until_ready(fused_jit(jnp.int32(0)))
-    jax.block_until_ready(probe_jit(jnp.int32(0)))
-    return RadixJoinPlan(count_fn=fused_jit,
+    def count_fn(chain):
+        sp2, _ = part(sk_in, chain)
+        return probe_jit(sp2, chain)
+
+    return RadixJoinPlan(count_fn=count_fn,
                          part_fn=lambda c: part(sk_in, c),
-                         probe_fn=probe_jit,
+                         probe_fn=lambda c: probe_jit(s_part, c),
                          s_tuples=int(s_key.shape[0]))
