@@ -54,8 +54,11 @@ from hwbloomradixjoin_tpu.utils.timing import JoinStats
 # probe side.  Beyond that the sort tier takes over.
 HT_MAX_SLOTS = 1 << 28
 
-# (id(R.key), id(S.key-in), lo, hi, bits, interpret) -> (plan, pinned arrays)
+# (id(R.key), id(S.key), bloom_args, lo, hi, bits, interpret) ->
+# (plan, pruned S, pinned arrays).  Bounded: holding every plan ever built
+# pins its arrays (and the plan's partitioned S copy) in HBM forever.
 _PLAN_CACHE: dict = {}
+_PLAN_CACHE_MAX = 4
 
 
 @dataclasses.dataclass(frozen=True)
@@ -134,9 +137,18 @@ def _phase_fns(spec: AlgoSpec, cfg: EngineConfig,
         return jnp.where(mask, sk, PAD), s_after
 
     if tier == "key8b":
+        # With --enable-key8B the reference's filter API still takes uint32
+        # keys, so int64 keys are truncated to their low word on add/check
+        # (hash.h:10 vs types.h:22-28) — pruning on the lo column reproduces
+        # that exactly, including truncation-collision false positives.
         def fused(rk, rkh, rp, sk, skh, sp, chain):
-            c, sr, ss = xla_join.sort_scan_count_wide(rkh, rk, rp, skh, sk, sp)
-            return c + chain * 0, sr, ss, jnp.int32(-1)
+            sk2, s_after = prune(rk, sk)
+            # pruned rows become the reserved (PAD, PAD) key pair, which no
+            # relation may contain (the engine-wide PAD_KEY reservation)
+            skh2 = jnp.where(sk2 == PAD, PAD, skh)
+            c, sr, ss = xla_join.sort_scan_count_wide(rkh, rk, rp, skh2,
+                                                      sk2, sp)
+            return c + chain * 0, sr, ss, s_after
         return [], fused
 
     if tier == "dense":
@@ -221,39 +233,44 @@ def _run_pallas_radix(spec: AlgoSpec, R: Relation, S: Relation,
     interpret = cfg.interpret or jax.default_backend() != "tpu"
     lo, hi = key_range
 
-    if bloom_args is not None:
-        @jax.jit
-        def prologue(rk, sk):
-            mask, s_after = bloom_join.bloom_prune(rk, sk, bloom_args)
-            return jnp.where(mask, sk, jnp.int32(Relation.PAD_KEY)), s_after
-        sk_in, s_after_dev = prologue(R.key, S.key)
-        s_after = int(s_after_dev)
-    else:
-        sk_in, s_after = S.key, -1
-
-    # plan cache: keyed on live array identities + static geometry, so
-    # repeated run_join calls on the same relations skip recompilation
-    # (descriptors depend on the data; id() is stable while caller holds
-    # the arrays, and a dead id cannot be looked up again by its holder)
-    ck = (id(R.key), id(sk_in), lo, hi, cfg.radix.num_radix_bits, interpret)
+    # plan cache: keyed on live array identities + static config, so
+    # repeated run_join calls on the same relations skip recompilation.
+    # Bloom pruning happens inside the cached entry (keyed on the RAW S
+    # identity plus the filter args), so bloom repeats hit the cache too;
+    # the dict is bounded, evicting oldest-first.
+    ck = (id(R.key), id(S.key), bloom_args, lo, hi,
+          cfg.radix.num_radix_bits, interpret)
     t0 = time.perf_counter()
-    plan = _PLAN_CACHE.get(ck)
-    if plan is None:
+    hit = _PLAN_CACHE.get(ck)
+    if hit is None:
+        if bloom_args is not None:
+            @jax.jit
+            def prologue(rk, sk):
+                mask, s_after = bloom_join.bloom_prune(rk, sk, bloom_args)
+                return (jnp.where(mask, sk, jnp.int32(Relation.PAD_KEY)),
+                        s_after)
+            sk_in, s_after_dev = prologue(R.key, S.key)
+            s_after = int(s_after_dev)
+        else:
+            sk_in, s_after = S.key, -1
         plan = bitmap_join.plan_radix_join(
             R.key, sk_in, lo, hi, interpret=interpret,
             num_radix_bits=cfg.radix.num_radix_bits)
         if plan is None:
             return None
-        _PLAN_CACHE[ck] = (plan, R.key, sk_in)  # pin arrays so ids stay valid
+        while len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+            _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+        _PLAN_CACHE[ck] = (plan, s_after, R.key, S.key)  # pin ids
     else:
-        plan = plan[0]
+        plan, s_after = hit[0], hit[1]
     compile_usec = (time.perf_counter() - t0) * 1e6
 
     # real per-phase device timing (separate synced dispatches, once)
     part_usec = plan.time_partition()
     probe_usec = plan.time_probe()
-    # steady state: descriptors cached in `plan`, host does only dispatches;
-    # the varying `chain` defeats the remote runtime's dispatch cache
+    # steady state: one fused device program per repeat (partition ->
+    # descriptor derivation -> probe); the varying `chain` defeats the
+    # remote runtime's dispatch cache
     total_usec = None
     for i in range(max(1, inner_repeats)):
         t0 = time.perf_counter()
@@ -263,6 +280,7 @@ def _run_pallas_radix(spec: AlgoSpec, R: Relation, S: Relation,
 
     stats = JoinStats(
         total_usec=total_usec, part_usec=part_usec, probe_usec=probe_usec,
+        build_usec=plan.build_usec,
         result=cnt, num_s_tuples=S.capacity,
         s_after_filter=None if s_after < 0 else s_after,
         compile_usec=compile_usec, tier="pallas_radix")
@@ -286,9 +304,17 @@ def run_join(name: str, R: Relation, S: Relation,
     spec = ALGORITHMS[name]
     if spec.family == "npo":
         bloom_args = None  # B_NPO wrappers ignore the filter (main.c:296-312)
+    if R.key_hi is not None and cfg.materialize:
+        raise NotImplementedError(
+            "--materialize with --key8b is not supported; run without "
+            "--key8b or without --materialize")
 
     key_range = _key_range(R) if R.key_hi is None else None
     tier = select_tier(spec, R, cfg, key_range)
+    if tier == "dense" and key_range is None:
+        # the dense fast path needs no table, so the count-table size cap
+        # (HT_MAX_SLOTS) must not gate it — read the range off the stats
+        key_range = (int(R.stats.min_key), int(R.stats.max_key))
 
     if tier == "pallas_radix":
         out = _run_pallas_radix(spec, R, S, cfg, bloom_args, inner_repeats,

@@ -1,27 +1,35 @@
 """The TPU radix-join engine: MSB radix partition + VMEM bitmap probe.
 
 This is the hardware-conscious core, the engine the reference's PRO plays on
-CPU (parallel_radix_join.c:255,735) re-derived from TPU constraints:
+CPU (parallel_radix_join.c:255,735) re-derived from TPU constraints and from
+measured primitive throughputs (tools/microbench.py):
 
-- The VPU's per-lane dynamic gather reaches 128 lanes (one vreg row), so a
-  probe structure must be navigable with 128-word lookups — exactly like the
-  reference's cache-line/TLB limits bounding per-pass radix fan-out
-  (prj_params.h:15-22).  Partition fan-out is therefore chosen so each
-  bucket's filter slice is `sl_rows` vreg rows (<= 32) that live in VMEM for
-  the whole probe of that bucket — the VMEM-residency analogue of the
-  blocked bloom filter's cache-line blocks (bloom_filter.c:125-141).
+- XLA gather/scatter/sort all run at 0.08-0.3 G elem/s on this chip, so the
+  hot path must be Pallas streaming kernels.  The VPU's in-kernel per-lane
+  gather (take_along_axis axis=1) runs at ~1 op/elem, so a probe structure
+  must be navigable by 128-lane row lookups plus a short select ladder over
+  slice rows — the measured ladder cost is ~0.25 + 0.004*sl_rows ns/elem.
+- Partitioning via the bit-serial split network costs ~0.31 ns/elem/bit
+  (measured), so fan-out is chosen to minimize split_bits + ladder_rows:
+  each bucket covers 2^shift keys with shift ~17 (slice = 32 vreg rows,
+  16 KiB, VMEM-resident for the whole bucket probe) — the VMEM-residency
+  analogue of the reference's cache-line blocks (bloom_filter.c:125-141)
+  and of NUM_RADIX_BITS bounding fan-out to TLB reach (prj_params.h:15-22).
 - Pass 1 (Pallas `partition_pass`, ops/radix.py) streams S through VMEM
   chunks, splitting each chunk bucket-major by the TOP bits of the
-  normalized key (range partitioning), and *fuses pruning into the pass*:
-  keys outside R's declared range drop into the pad category and never move
-  again — the dataflow of parallel_radix_join_bloom.c:798-849 where S
-  tuples failing the filter are dropped before the scatter.
-- The probe kernel walks buckets; per grid step it DMAs one bucket's filter
-  slice plus that bucket's runs from a group of chunks, then counts matches
-  with vectorized 128-lane gathers + bit tests.  The bucket->runs
-  descriptors are built on host ONCE per plan (the reference's task-
-  generation role, parallel_radix_join.c:1130-1270) and reused across
-  steady-state repeats — no host work in the timed loop.
+  normalized key, with pruning fused into the pass: PAD keys (bloom-pruned
+  or out of range) drop into the pad category — the dataflow of
+  parallel_radix_join_bloom.c:798-849.
+- The probe kernel's grid runs over (bucket x chunk-group); per step it has
+  the bucket's bitmap slice VMEM-resident (BlockSpec-pipelined) and DMAs a
+  fixed window of each chunk's bucket run.  Run-window descriptors are ONE
+  int32 per (chunk, bucket), derived ON DEVICE from the partition pass's
+  starts output and fed through a pipelined SMEM BlockSpec — O(1) SMEM
+  residency at any |S| (round 2 kept all descriptors in scalar-prefetch
+  SMEM, which overflows at production geometry).  Validity masks are
+  recomputed from the keys themselves (bucket-of-key == step bucket), and
+  windows are clamped inside their own chunk, so no window can ever count
+  an element of another chunk or bucket.
 
 Exactness: the filter is an *exact* bitmap over R's declared key range
 (unique build keys => one bit per key, no false positives), so the count
@@ -32,6 +40,7 @@ portable tiers (models/registry.py).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Optional
 
@@ -42,26 +51,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from hwbloomradixjoin_tpu.ops import radix as radix_ops
-from hwbloomradixjoin_tpu.ops.radix import LANES, PAD_KEY, _iota_flat
+from hwbloomradixjoin_tpu.ops.radix import LANES, PAD_KEY
 
-MAX_SL_ROWS = 32           # bucket filter slice: <= 32 vreg rows = 4096 words
-C_ROWS = 16                # DMA window rows per (chunk, bucket) run
-CH_PER_STEP = 32           # chunks gathered per probe grid step
+CHUNK_ROWS = 4096          # partition chunk: 512K elements (2 MiB keys)
+MAX_SL_ROWS = 32           # bucket slice: 32 vreg rows = 16 KiB = 2^17 keys
+SBUF_BUDGET_ROWS = 4096    # probe staging budget: 2 MiB of VMEM
+VMEM_LIMIT = 100 * 1024 * 1024
 
 
-def plan_geometry(lo: int, hi: int, chunk_rows: int = radix_ops.CHUNK_ROWS,
-                  num_radix_bits: Optional[int] = None):
+def plan_geometry(lo: int, hi: int, num_radix_bits: Optional[int] = None):
     """Derive (part_bits, shift, sl_rows) from the build-side key range.
 
-    Each bucket covers 2^shift keys with shift in [12, 17]: the slice is
-    then 1..32 vreg rows (<= 16 KiB) — VMEM-resident for the whole bucket
-    probe.  Default fan-out is the minimum the range forces — fewer
-    buckets = fatter runs = fewer DMAs, the TPU analogue of 'never use
-    more radix bits than the caches force' (prj_params.h:15-22).
-
-    num_radix_bits (RadixConfig / --engine-radix-bits) overrides the
-    fan-out within the hardware-valid window [range-17, range-12] — the
-    sweep axis of the reference's figure 9 (NUM_RADIX_BITS 12..17).
+    Each bucket covers 2^shift keys; shift defaults to range_bits - 12 ..
+    down to range_bits - 17 so the slice is 1..32 vreg rows.  Default
+    fan-out is the minimum the range forces (measured: split cost is
+    0.31 ns/elem/bit while the ladder adds only 0.004 ns/elem/row, so
+    fewer partition bits win until sl_rows ~128).  num_radix_bits
+    (--engine-radix-bits) overrides fan-out within the hardware-valid
+    window — the sweep axis of the reference's figure 9 (NUM_RADIX_BITS
+    12..17, parallel_radix_join.c / prj_params.h:15-22).
     """
     span = hi - lo + 1
     range_bits = max((max(span - 1, 1)).bit_length(), 12)
@@ -74,12 +82,13 @@ def plan_geometry(lo: int, hi: int, chunk_rows: int = radix_ops.CHUNK_ROWS,
     return part_bits, shift, sl_rows
 
 
-def build_bitmap(r_key, lo: int, hi: int, part_bits: int, shift: int,
-                 sl_rows: int):
+def build_bitmap(r_key, lo: int, hi: int, part_bits: int, sl_rows: int):
     """Exact membership bitmap over [lo, hi], laid out (F * sl_rows, 128).
 
     Unique R keys => distinct (word, bit) pairs => scatter-ADD equals the
-    reference's atomic fetch-OR (bloom_filter.c:84) with zero FPR.
+    reference's atomic fetch-OR (bloom_filter.c:84) with zero FPR.  This is
+    the R-side build phase; it runs once per plan (XLA scatter, measured
+    ~12 ns/key — plan-time only, never in the steady-state loop).
     """
     nwords = (1 << part_bits) * sl_rows * LANES
     norm = r_key.astype(jnp.int32) - jnp.int32(lo)
@@ -91,108 +100,111 @@ def build_bitmap(r_key, lo: int, hi: int, part_bits: int, shift: int,
     return bm.astype(jnp.int32).reshape((1 << part_bits) * sl_rows, LANES)
 
 
-BUF_ROWS = 4096            # probe staging buffer budget: 2 MiB of VMEM
+@dataclasses.dataclass(frozen=True)
+class ProbeGeom:
+    """Static probe-kernel geometry, derived once per plan."""
+    part_bits: int
+    shift: int
+    sl_rows: int
+    lo: int
+    chunk_rows: int
+    nchunks: int
+    c_rows: int           # DMA window rows per (chunk, bucket) run
+    ch_per_step: int      # chunks served per probe grid step
+    ngroups: int          # chunk groups = grid steps per bucket
+
+    @property
+    def grid(self):
+        return (1 << self.part_bits) * self.ngroups
 
 
-def build_probe_descs(starts: np.ndarray, geom, total_rows: int):
-    """Host-side: per-(chunk, bucket) run windows -> probe grid descriptors.
+def derive_descs(starts, geom: ProbeGeom):
+    """Device-side: partition starts -> (G, ch_per_step) DMA row table.
 
-    starts: (nchunks, cat_rows, 128) from partition_pass.  The DMA window
-    (c_rows) adapts to the largest run; the chunks-per-step count adapts to
-    the VMEM staging budget.  Returns (row, vs, ve, ngroups, c_rows,
-    ch_per_step) with (row, vs, ve) shaped (F * ngroups, ch_per_step), grid
-    step g serving bucket g // ngroups — or None if one run exceeds the
-    whole staging budget (heavy skew -> caller falls back).
+    starts: (nchunks, cat_rows, 128) int32 from partition_pass (suffix-
+    filled flat start offsets per category).  The only descriptor needed is
+    the window's source row: row[c, b] = c*chunk_rows + clamp(start>>7),
+    clamped so the c_rows-row window always stays inside chunk c — masks
+    recomputed from keys in-kernel do the rest (no vs/ve tables; the round-2
+    equivalent of the reference's task descriptors,
+    parallel_radix_join.c:1130-1270, shrinks to one int per task).
     """
-    nchunks = starts.shape[0]
     F = 1 << geom.part_bits
-    flat = starts.reshape(nchunks, -1).astype(np.int64)[:, :F + 1]
-    st, en = flat[:, :-1], flat[:, 1:]          # (nchunks, F)
-    r0 = st >> 7
-    r1 = -(-en // LANES)
-    max_run = int((r1 - r0).max()) if nchunks else 1
-    c_rows = max(8, (max_run + 7) & ~7)
-    if c_rows > BUF_ROWS:
-        return None
-    ch_per_step = max(1, min(CH_PER_STEP, BUF_ROWS // c_rows, nchunks))
-
-    chunk_elems = geom.chunk_rows * LANES
-    base = np.arange(nchunks)[:, None] * geom.chunk_rows
-    row = np.minimum(base + r0, max(total_rows - c_rows, 0))
-    vs = st + np.arange(nchunks)[:, None] * chunk_elems - row * LANES
-    ve = vs + (en - st)
-
-    ngroups = -(-nchunks // ch_per_step)
-    pad_chunks = ngroups * ch_per_step - nchunks
-    if pad_chunks:
-        zrow = np.zeros((pad_chunks, F), np.int64)
-        row = np.concatenate([row, zrow])
-        vs = np.concatenate([vs, zrow])
-        ve = np.concatenate([ve, zrow])
-    # (nchunks', F) -> (F, ngroups, ch_per_step) -> (G, ch_per_step)
-    def arrange(a):
-        return (a.reshape(ngroups, ch_per_step, F)
-                 .transpose(2, 0, 1)
-                 .reshape(F * ngroups, ch_per_step)
-                 .astype(np.int32))
-    return arrange(row), arrange(vs), arrange(ve), ngroups, c_rows, ch_per_step
+    nchunks, ngroups, ch = geom.nchunks, geom.ngroups, geom.ch_per_step
+    st = starts.reshape(nchunks, -1)[:, :F]                # (nchunks, F)
+    r0 = jnp.minimum(st >> 7, geom.chunk_rows - geom.c_rows)
+    row = (jnp.arange(nchunks, dtype=jnp.int32)[:, None] * geom.chunk_rows
+           + r0)
+    pad = ngroups * ch - nchunks
+    if pad:
+        row = jnp.concatenate([row, jnp.zeros((pad, F), jnp.int32)])
+    # (nchunks', F) -> (F, ngroups, ch) -> (F*ngroups, 1, ch); the middle
+    # singleton makes the (1, 1, ch) SMEM block legal (last two block dims
+    # must divide (8, 128) or equal the array dims)
+    return (row.reshape(ngroups, ch, F).transpose(2, 0, 1)
+            .reshape(F * ngroups, 1, ch))
 
 
-def _probe_kernel_for(sl_rows: int, c_rows: int, ch_per_step: int,
-                      lo: int, ngroups: int):
-    wmask = sl_rows * LANES * 32 - 1  # bits per bucket - 1
+def _probe_kernel_for(geom: ProbeGeom):
+    sl_rows = geom.sl_rows
+    c_rows = geom.c_rows
+    ch = geom.ch_per_step
+    ngroups = geom.ngroups
+    nchunks = geom.nchunks
+    lo = geom.lo
+    shift = geom.shift
 
-    def kern(row_d, vs_d, ve_d, bm_ref, s_ref, out_ref, sbuf, sem, acc):
+    def kern(row_d, bm_ref, s_ref, out_ref, sbuf, sem, acc):
         g = pl.program_id(0)
         ng = pl.num_programs(0)
+        b = g // ngroups                 # this step's bucket
+        gi = g - b * ngroups             # chunk-group index
 
         @pl.when(g == 0)
         def _():
             acc[:] = jnp.zeros_like(acc)
 
-        copies = [pltpu.make_async_copy(
-            s_ref.at[pl.ds(row_d[g, t], c_rows), :],
-            sbuf.at[pl.ds(t * c_rows, c_rows), :], sem)
-            for t in range(ch_per_step)]
-        for cp in copies:
-            cp.start()
-        for cp in copies:
-            cp.wait()
+        nlive = jnp.minimum(nchunks - gi * ch, ch)
+        for t in range(ch):
+            @pl.when(t < nlive)
+            def _():
+                pltpu.make_async_copy(
+                    s_ref.at[pl.ds(row_d[0, 0, t], c_rows), :],
+                    sbuf.at[pl.ds(t * c_rows, c_rows), :], sem).start()
+        for t in range(ch):
+            @pl.when(t < nlive)
+            def _():
+                pltpu.make_async_copy(
+                    s_ref.at[pl.ds(row_d[0, 0, t], c_rows), :],
+                    sbuf.at[pl.ds(t * c_rows, c_rows), :], sem).wait()
 
-        sl = bm_ref[:]                       # (sl_rows, 128) bucket slice
-        base_iota = _iota_flat((8, LANES))
+        sl = bm_ref[:]                   # (sl_rows, 128) bucket slice
+        live_rows = nlive * c_rows
 
-        # fori loops (not python unrolls) keep compiled size independent of
-        # the (c_rows, ch_per_step) geometry — only sl_rows is unrolled
-        def chunk_body(t, _):
-            vs = vs_d[g, t]
-            ve = ve_d[g, t]
+        def sub(u, _):
+            r = pl.multiple_of(u * 8, 8)
+            k = sbuf[pl.ds(r, 8), :]
+            norm = k - jnp.int32(lo)
+            # bucket check on the FULL arithmetic shift: PAD keys and other
+            # buckets (incl. window rows preceding the run) never alias b
+            ok = (norm >> shift) == b
+            w = (norm >> 5) & (sl_rows * LANES - 1)
+            lane = w & (LANES - 1)
+            rowj = w >> 7
+            if sl_rows == 1:
+                v = jnp.take_along_axis(
+                    jnp.broadcast_to(sl[0:1], (8, LANES)), lane, axis=1)
+            else:
+                v = jnp.zeros((8, LANES), jnp.int32)
+                for j in range(sl_rows):
+                    gth = jnp.take_along_axis(
+                        jnp.broadcast_to(sl[j:j + 1], (8, LANES)),
+                        lane, axis=1)
+                    v = jnp.where(rowj == j, gth, v)
+            acc[:] += jnp.where(ok, (v >> (norm & 31)) & 1, 0)
+            return 0
 
-            def row_body(u, _):
-                r = pl.multiple_of(t * c_rows + u * 8, 8)
-                k = sbuf[pl.ds(r, 8), :]
-                flat = base_iota + u * (8 * LANES)
-                ok = (flat >= vs) & (flat < ve)
-                norm = k - jnp.int32(lo)
-                widx = (norm >> 5) & (wmask >> 5)
-                lane = widx & (LANES - 1)
-                rowj = widx >> 7
-                if sl_rows == 1:
-                    v = jnp.take_along_axis(
-                        jnp.broadcast_to(sl[0:1], (8, LANES)), lane, axis=1)
-                else:
-                    v = jnp.zeros((8, LANES), jnp.int32)
-                    for j in range(sl_rows):
-                        gth = jnp.take_along_axis(
-                            jnp.broadcast_to(sl[j:j + 1], (8, LANES)),
-                            lane, axis=1)
-                        v = jnp.where(rowj == j, gth, v)
-                acc[:] += jnp.where(ok, (v >> (norm & 31)) & 1, 0)
-                return 0
-
-            return jax.lax.fori_loop(0, c_rows // 8, row_body, 0)
-
-        jax.lax.fori_loop(0, ch_per_step, chunk_body, 0)
+        jax.lax.fori_loop(0, live_rows // 8, sub, 0)
 
         @pl.when(g == ng - 1)
         def _():
@@ -200,109 +212,137 @@ def _probe_kernel_for(sl_rows: int, c_rows: int, ch_per_step: int,
     return kern
 
 
-def bitmap_probe_count(bitmap, s_part, row_d, vs_d, ve_d, ngroups: int,
-                       sl_rows: int, lo: int, interpret: bool = False,
-                       c_rows: int = C_ROWS, ch_per_step: int = CH_PER_STEP):
+def bitmap_probe_count(bitmap, s_part, row_d, geom: ProbeGeom,
+                       interpret: bool = False):
     """Count S matches: grid over (bucket x chunk-group) probe steps."""
-    G = row_d.shape[0]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+    G = geom.grid
+    out = pl.pallas_call(
+        _probe_kernel_for(geom),
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((sl_rows, LANES), lambda g, *_: (g // ngroups, 0),
+            pl.BlockSpec((1, 1, geom.ch_per_step), lambda g: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((geom.sl_rows, LANES),
+                         lambda g, ngroups=geom.ngroups: (g // ngroups, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((ch_per_step * c_rows, LANES), jnp.int32),
+            pltpu.VMEM((geom.ch_per_step * geom.c_rows, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.VMEM((8, LANES), jnp.int32),
         ],
-    )
-    out = pl.pallas_call(
-        _probe_kernel_for(sl_rows, c_rows, ch_per_step, lo, ngroups),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            has_side_effects=True),
-    )(row_d, vs_d, ve_d, bitmap, s_part)
+            has_side_effects=True, vmem_limit_bytes=VMEM_LIMIT),
+    )(row_d, bitmap, s_part)
     return out[0, 0]
 
 
 @dataclasses.dataclass
 class RadixJoinPlan:
-    """Compiled + descriptor-cached radix join; steady state is device-only.
+    """Compiled radix join; steady state is device-only.
 
-    count() issues the partition and probe programs back to back — the
-    probe consumes the fresh partition output, so repeats serialize
-    on-device (real work each time) while the two dispatches pipeline.
+    count() runs the full S-side pipeline on device: partition pass ->
+    descriptor derivation -> probe, in one jitted program.  The R-side
+    build (bitmap) lives in the plan, mirroring a served build side; its
+    one-off build time is reported as the build phase.
     """
 
     count_fn: "callable"        # chain:int32 -> count (partition -> probe)
     part_fn: "callable"         # chain -> partitioned S (for phase timing)
-    probe_fn: "callable"        # chain -> count (probe only, cached partition)
+    probe_fn: "callable"        # chain -> count (probe only, cached part)
     s_tuples: int
+    build_usec: float
+    geom: ProbeGeom
 
     def count(self, chain=0) -> int:
         return int(self.count_fn(jnp.int32(chain)))
 
     def time_partition(self) -> float:
         t0 = time.perf_counter()
-        jax.block_until_ready(self.part_fn(jnp.int32(1)))
+        np.asarray(self.part_fn(jnp.int32(1))[0])[0]
         return (time.perf_counter() - t0) * 1e6
 
     def time_probe(self) -> float:
         t0 = time.perf_counter()
-        jax.block_until_ready(self.probe_fn(jnp.int32(1)))
+        int(self.probe_fn(jnp.int32(1)))
         return (time.perf_counter() - t0) * 1e6
+
+
+def _probe_geom(part_bits, shift, sl_rows, lo, chunk_rows, nchunks,
+                max_run_elems):
+    """Fix the probe window/staging geometry from the observed max run."""
+    run_rows = -(-int(max_run_elems) // LANES) + 1   # +1 boundary row
+    c_rows = min((run_rows + 7) & ~7, chunk_rows)    # 8-row sub-blocks
+    if c_rows > SBUF_BUDGET_ROWS:
+        return None                                   # heavy skew
+    ch = max(1, min(32, SBUF_BUDGET_ROWS // c_rows, nchunks))
+    ngroups = -(-nchunks // ch)
+    return ProbeGeom(part_bits=part_bits, shift=shift, sl_rows=sl_rows,
+                     lo=lo, chunk_rows=chunk_rows, nchunks=nchunks,
+                     c_rows=c_rows, ch_per_step=ch, ngroups=ngroups)
 
 
 def plan_radix_join(r_key, s_key, lo: int, hi: int,
                     interpret: bool = False,
-                    chunk_rows: int = radix_ops.CHUNK_ROWS,
+                    chunk_rows: int = CHUNK_ROWS,
                     num_radix_bits: Optional[int] = None):
-    """Build a radix-join plan: bitmap, one partition pass, descriptors.
+    """Build a radix-join plan: bitmap, partition program, probe program.
 
     Requires unique R keys in [lo, hi] (caller checks stats).  Returns None
-    if the probe window capacity can't serve the partition layout.
+    if a partition run overflows the probe staging budget (heavy skew —
+    caller falls back, the analogue of SKEW_HANDLING's bail-outs).
     """
-    part_bits, shift, sl_rows = plan_geometry(lo, hi, chunk_rows,
-                                              num_radix_bits)
-    geom = radix_ops.RadixGeom(chunk_rows=chunk_rows, part_bits=part_bits,
-                               lo=lo, hi=hi, shift=shift)
+    if interpret:
+        chunk_rows = min(chunk_rows, 1024)   # CPU-test speed; same semantics
+    part_bits, shift, sl_rows = plan_geometry(lo, hi, num_radix_bits)
+    pgeom = radix_ops.RadixGeom(chunk_rows=chunk_rows, part_bits=part_bits,
+                                lo=lo, hi=hi, shift=shift)
     chunk = chunk_rows * LANES
 
-    bitmap = jax.jit(
-        lambda rk: build_bitmap(rk, lo, hi, part_bits, shift, sl_rows)
+    t0 = time.perf_counter()
+    bitmap = jax.jit(functools.partial(
+        build_bitmap, lo=lo, hi=hi, part_bits=part_bits, sl_rows=sl_rows)
     )(r_key)
+    bitmap = jax.block_until_ready(bitmap)
+    build_usec = (time.perf_counter() - t0) * 1e6
 
     part = jax.jit(lambda sk, chain: radix_ops.partition_pass(
-        sk + chain * 0, interpret=interpret, geom=geom))
+        sk + chain * 0, interpret=interpret, geom=pgeom))
     sk_in = radix_ops._chunk_pad(jnp.asarray(s_key, jnp.int32), chunk)
+    nchunks = sk_in.shape[0] // chunk
     s_part, starts = part(sk_in, jnp.int32(0))
-    descs = build_probe_descs(np.asarray(starts).reshape(
-        -1, geom.cat_rows, LANES), geom, s_part.shape[0])
-    if descs is None:
+
+    # one plan-time host sync: the max run length fixes the static window
+    F = 1 << part_bits
+    st = np.asarray(starts).reshape(nchunks, -1)[:, :F + 1].astype(np.int64)
+    max_run = int((st[:, 1:] - st[:, :-1]).max()) if nchunks else 1
+    geom = _probe_geom(part_bits, shift, sl_rows, lo, chunk_rows, nchunks,
+                       max_run)
+    if geom is None:
         return None
-    row_d, vs_d, ve_d, ngroups, c_rows, ch_per_step = descs
-    row_d, vs_d, ve_d = (jnp.asarray(a) for a in (row_d, vs_d, ve_d))
 
-    def probe_arg(sp2, chain):
-        return bitmap_probe_count(
-            bitmap, sp2, row_d + chain * 0, vs_d, ve_d, ngroups, sl_rows,
-            lo, interpret=interpret, c_rows=c_rows, ch_per_step=ch_per_step)
+    def count_from(sk, chain):
+        sp, stt = part(sk, chain)
+        row_d = derive_descs(stt.reshape(nchunks, -1, LANES), geom)
+        return bitmap_probe_count(bitmap, sp, row_d, geom,
+                                  interpret=interpret)
 
-    probe_jit = jax.jit(probe_arg)
-    # warm so steady-state and phase timings exclude compiles
-    jax.block_until_ready(probe_jit(s_part, jnp.int32(0)))
+    count_jit = jax.jit(count_from)
+    row_d0 = jax.jit(lambda stt: derive_descs(
+        stt.reshape(nchunks, -1, LANES), geom))(starts)
+    probe_jit = jax.jit(lambda sp, rd, chain: bitmap_probe_count(
+        bitmap, sp + chain * 0, rd, geom, interpret=interpret))
+    # warm so steady-state timings exclude compiles
+    int(count_jit(sk_in, jnp.int32(0)))
 
-    def count_fn(chain):
-        sp2, _ = part(sk_in, chain)
-        return probe_jit(sp2, chain)
-
-    return RadixJoinPlan(count_fn=count_fn,
-                         part_fn=lambda c: part(sk_in, c),
-                         probe_fn=lambda c: probe_jit(s_part, c),
-                         s_tuples=int(s_key.shape[0]))
+    return RadixJoinPlan(
+        count_fn=lambda c: count_jit(sk_in, c),
+        part_fn=lambda c: part(sk_in, c),
+        probe_fn=lambda c: probe_jit(s_part, row_d0, c),
+        s_tuples=int(s_key.shape[0]),
+        build_usec=build_usec,
+        geom=geom)

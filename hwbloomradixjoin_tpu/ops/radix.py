@@ -336,6 +336,10 @@ def partition_pass(keys_flat, interpret: bool = False, geom=None):
             jax.ShapeDtypeStruct((nchunks * car, LANES), jnp.int32),
         ),
         interpret=interpret,
+        # big chunks (4096 rows) need the split network's temporaries to
+        # spill past the default 16 MiB scoped-vmem budget (v5e has 128 MiB)
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(k2)
 
 

@@ -37,6 +37,7 @@ class JoinConfig:
     full_range: bool = False
     radix_bits: Optional[int] = None
     use_pallas: bool = True
+    no_dense: bool = False            # disable the dense-PK planner shortcut
     backend: str = "auto"
     repeats: int = 1
 
@@ -63,6 +64,8 @@ class JoinConfig:
             args += ["--engine-radix-bits", str(self.radix_bits)]
         if not self.use_pallas:
             args.append("--engine-no-pallas")
+        if self.no_dense:
+            args.append("--engine-no-dense")
         if self.backend != "auto":
             args += ["--engine-backend", self.backend]
         if self.repeats > 1:

@@ -148,7 +148,7 @@ def sweep_radix_bits(backend="auto", r_size=1_000_000, s_size=8_000_000):
     for bits in [None] + list(range(max(range_bits - 17, 0),
                                     max(range_bits - 12, 0) + 1)):
         cfg = JoinConfig(algorithm="PRO", r_size=r_size, s_size=s_size,
-                         radix_bits=bits, backend=backend)
+                         radix_bits=bits, no_dense=True, backend=backend)
         row = run_one(cfg)
         row["radix-bits"] = -1 if bits is None else bits
         rows.append(row)
@@ -171,7 +171,7 @@ def sweep_never_single_pass(backend="auto", r_size=1_000_000,
         if variant == "no" and k != 1:
             continue
         cfg = JoinConfig(algorithm="PRO", r_size=r_size, s_size=s_size,
-                         selectivity=0.01, radix_bits=bits,
+                         selectivity=0.01, radix_bits=bits, no_dense=True,
                          bloom_filter=variant, bloom_size=1 << 26,
                          bloom_hashes=k, backend=backend)
         row = run_one(cfg)

@@ -1,7 +1,10 @@
 """TPU validation + timing of the bitmap radix join engine."""
+import os
 import sys
 import time
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
