@@ -54,6 +54,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "tpu", "cpu"],
                    help="force a jax backend (cpu for validation runs)")
     p.add_argument("--engine-radix-bits", type=int, default=None)
+    p.add_argument("--engine-passes", type=int, default=1, choices=[1, 2],
+                   help="radix partition passes (reference NUM_PASSES)")
     p.add_argument("--engine-no-pallas", action="store_true")
     p.add_argument("--engine-repeats", type=int, default=1,
                    help="re-run the timed join N times, report the best")
@@ -127,6 +129,7 @@ def main(argv=None) -> int:
             k=args.bloom_hashes, B=args.bloom_block_size)
 
     radix = RadixConfig(num_radix_bits=args.engine_radix_bits,
+                        passes=args.engine_passes,
                         use_pallas=not args.engine_no_pallas)
     cfg = EngineConfig(radix=radix, key8b=args.key8b,
                        materialize=args.materialize,

@@ -66,28 +66,18 @@ class RadixConfig:
     # minimum fan-out the key range forces (ops/bitmap_join.plan_geometry) —
     # an explicit value sweeps the kernel like the reference's NUM_RADIX_BITS
     num_radix_bits: int | None = None
-    bits_per_pass: int = 7        # fanout per pass = 2^bits_per_pass
-    pad_frac: float = 0.30        # per-partition capacity headroom over mean
-    tile: int = 2048              # tuples per kernel tile
+    # partition passes (reference NUM_PASSES, prj_params.h:20-22): 1 = one
+    # chunk-major Pallas pass; 2 = pass 1 by the high half of the bits, then
+    # a per-bucket gather + sub-split pass producing a globally contiguous
+    # bucket-major layout (ops/multipass.py)
+    passes: int = 1
     use_pallas: bool = True       # Pallas kernels vs XLA reference path
 
-    @property
-    def fanout(self) -> int:
-        return 1 << (self.num_radix_bits or 0)
-
-    @property
-    def num_passes(self) -> int:
-        return -(-(self.num_radix_bits or 0) // self.bits_per_pass)
-
-    def pass_bits(self) -> list[int]:
-        """Bits consumed by each pass, MSB-first partitioning."""
-        bits = []
-        rem = self.num_radix_bits or 0
-        while rem > 0:
-            b = min(self.bits_per_pass, rem)
-            bits.append(b)
-            rem -= b
-        return bits
+    def split_bits(self, total_bits: int) -> tuple[int, int]:
+        """(pass-1 bits, pass-2 bits): high half first, like the reference's
+        NUM_RADIX_BITS/NUM_PASSES split (parallel_radix_join.c:1516-1533)."""
+        b2 = total_bits // 2
+        return total_bits - b2, b2
 
 
 @dataclasses.dataclass(frozen=True)

@@ -239,7 +239,7 @@ def _run_pallas_radix(spec: AlgoSpec, R: Relation, S: Relation,
     # identity plus the filter args), so bloom repeats hit the cache too;
     # the dict is bounded, evicting oldest-first.
     ck = (id(R.key), id(S.key), bloom_args, lo, hi,
-          cfg.radix.num_radix_bits, interpret)
+          cfg.radix.num_radix_bits, cfg.radix.passes, interpret)
     t0 = time.perf_counter()
     hit = _PLAN_CACHE.get(ck)
     if hit is None:
@@ -253,9 +253,16 @@ def _run_pallas_radix(spec: AlgoSpec, R: Relation, S: Relation,
             s_after = int(s_after_dev)
         else:
             sk_in, s_after = S.key, -1
-        plan = bitmap_join.plan_radix_join(
-            R.key, sk_in, lo, hi, interpret=interpret,
-            num_radix_bits=cfg.radix.num_radix_bits)
+        plan = None
+        if cfg.radix.passes == 2:
+            from hwbloomradixjoin_tpu.ops import multipass
+            plan = multipass.plan_radix_join_2pass(
+                R.key, sk_in, lo, hi, interpret=interpret,
+                num_radix_bits=cfg.radix.num_radix_bits)
+        if plan is None:
+            plan = bitmap_join.plan_radix_join(
+                R.key, sk_in, lo, hi, interpret=interpret,
+                num_radix_bits=cfg.radix.num_radix_bits)
         if plan is None:
             return None
         while len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:

@@ -252,7 +252,7 @@ class RadixJoinPlan:
     """
 
     count_fn: "callable"        # chain:int32 -> count (partition -> probe)
-    part_fn: "callable"         # chain -> partitioned S (for phase timing)
+    part_fn: "callable"         # chain -> scalar probe of partitioned S
     probe_fn: "callable"        # chain -> count (probe only, cached part)
     s_tuples: int
     build_usec: float
@@ -261,15 +261,17 @@ class RadixJoinPlan:
     def count(self, chain=0) -> int:
         return int(self.count_fn(jnp.int32(chain)))
 
-    def time_partition(self) -> float:
+    def _time(self, fn) -> float:
+        int(fn(jnp.int32(1)))            # warm: compile + first-run costs
         t0 = time.perf_counter()
-        np.asarray(self.part_fn(jnp.int32(1))[0])[0]
+        int(fn(jnp.int32(2)))
         return (time.perf_counter() - t0) * 1e6
 
+    def time_partition(self) -> float:
+        return self._time(self.part_fn)
+
     def time_probe(self) -> float:
-        t0 = time.perf_counter()
-        int(self.probe_fn(jnp.int32(1)))
-        return (time.perf_counter() - t0) * 1e6
+        return self._time(self.probe_fn)
 
 
 def _probe_geom(part_bits, shift, sl_rows, lo, chunk_rows, nchunks,
@@ -336,12 +338,16 @@ def plan_radix_join(r_key, s_key, lo: int, hi: int,
         stt.reshape(nchunks, -1, LANES), geom))(starts)
     probe_jit = jax.jit(lambda sp, rd, chain: bitmap_probe_count(
         bitmap, sp + chain * 0, rd, geom, interpret=interpret))
+    # phase timing must read back a SCALAR (a full-array fetch crawls
+    # through the tunnel); the sum is data-dependent on the whole pass
+    part_scalar = jax.jit(
+        lambda sk, chain: part(sk, chain)[0].ravel()[-1].astype(jnp.int32))
     # warm so steady-state timings exclude compiles
     int(count_jit(sk_in, jnp.int32(0)))
 
     return RadixJoinPlan(
         count_fn=lambda c: count_jit(sk_in, c),
-        part_fn=lambda c: part(sk_in, c),
+        part_fn=lambda c: part_scalar(sk_in, c),
         probe_fn=lambda c: probe_jit(s_part, row_d0, c),
         s_tuples=int(s_key.shape[0]),
         build_usec=build_usec,

@@ -501,11 +501,20 @@ def gathered_probe_count(r_keys2d, s_keys2d, sdesc, rdesc,
 
 
 def _chunk_pad(keys, chunk_elems: int):
+    """Pad to a chunk multiple with PAD_KEY.
+
+    numpy inputs are padded on host (at the 1B-row north-star scale a
+    device-side concatenate would hold a second 4 GiB copy of S in HBM
+    next to the original — the difference between fitting and OOM).
+    """
     import numpy as np
     n = keys.shape[0]
     padded = -(-max(n, 1) // chunk_elems) * chunk_elems
     if padded == n:
-        return keys
+        return jnp.asarray(keys)
+    if isinstance(keys, np.ndarray):
+        return jnp.asarray(np.concatenate(
+            [keys, np.full(padded - n, PAD_KEY, np.int32)]))
     return jnp.concatenate(
         [keys, jnp.full((padded - n,), jnp.int32(PAD_KEY))])
 

@@ -115,3 +115,39 @@ def test_run_join_sortscan_part_phase():
     assert st.tier == "sortscan"
     assert res.count() == want[0]
     assert st.part_usec > 0 and st.probe_usec > 0
+
+
+def test_two_pass_partition_same_count():
+    """NUM_PASSES=2 (pass-1 high bits + contiguous pass-2) matches 1-pass.
+
+    Reference structure: parallel pass 1 + serial_radix_partition pass 2
+    (parallel_radix_join.c:680,735; prj_params.h NUM_PASSES).
+    """
+    import jax.numpy as jnp
+    from hwbloomradixjoin_tpu.ops import bitmap_join, multipass
+
+    rk, rp, sk, sp = _workload(n_r=60000, n_s=120000, hi_mult=2, seed=3)
+    want, _, _ = native.ref_join(rk, rp, sk, sp)
+    plan2 = multipass.plan_radix_join_2pass(
+        jnp.asarray(rk), jnp.asarray(sk), 1, 60000, interpret=True,
+        num_radix_bits=4)
+    assert plan2 is not None
+    assert plan2.pass2.b1 + plan2.pass2.b2 == plan2.geom.part_bits
+    assert plan2.count() == want
+    plan1 = bitmap_join.plan_radix_join(
+        jnp.asarray(rk), jnp.asarray(sk), 1, 60000, interpret=True,
+        num_radix_bits=4)
+    assert plan1.count() == want
+
+
+def test_two_pass_via_run_join():
+    rk, rp, sk, sp = _workload(n_r=60000, n_s=50000, hi_mult=2, seed=4)
+    want, _, _ = native.ref_join(rk, rp, sk, sp)
+    stats = KeyStats(min_key=1, max_key=60000, is_unique=True)
+    R = Relation.from_numpy(rk, rp, stats=stats)
+    S = Relation.from_numpy(sk, sp)
+    cfg = EngineConfig(interpret=True,
+                       radix=RadixConfig(passes=2, num_radix_bits=4))
+    res, st, _ = run_join("PRO", R, S, cfg)
+    assert st.tier == "pallas_radix"
+    assert res.count() == want
