@@ -113,6 +113,11 @@ def select_tier(spec: AlgoSpec, R: Relation, cfg: EngineConfig,
             and key_range is not None \
             and R.stats is not None and R.stats.is_unique:
         return "pallas_radix"
+    if spec.name == "PRHO" and cfg.radix.use_pallas \
+            and (jax.default_backend() == "tpu" or cfg.interpret) \
+            and key_range is not None \
+            and key_range[1] - key_range[0] < (1 << 26):
+        return "pallas_prho"       # partitioned count-table probe; works
     if spec.name == "PRH" or key_range is None:
         return "sortscan"
     return "ht"
@@ -296,6 +301,66 @@ def _run_pallas_radix(spec: AlgoSpec, R: Relation, S: Relation,
     return result, stats, (0, 0)
 
 
+def _run_pallas_prho(spec: AlgoSpec, R: Relation, S: Relation,
+                     cfg: EngineConfig, bloom_args: Optional[BloomArgs],
+                     inner_repeats: int, key_range):
+    """PRHO: partitioned count/paysum-table probe with checksums.
+
+    ops/prho_join.py — the reference's histogram re-order + SIMD probe
+    (parallel_radix_join.c:438-555) as a VMEM count-slice gather engine;
+    supports non-unique builds and returns both checksums.
+    """
+    from hwbloomradixjoin_tpu.ops import prho_join
+
+    interpret = cfg.interpret or jax.default_backend() != "tpu"
+    lo, hi = key_range
+
+    ck = ("prho", id(R.key), id(S.key), bloom_args, lo, hi,
+          cfg.radix.num_radix_bits, interpret)
+    t0 = time.perf_counter()
+    hit = _PLAN_CACHE.get(ck)
+    if hit is None:
+        if bloom_args is not None:
+            @jax.jit
+            def prologue(rk, sk):
+                mask, s_after = bloom_join.bloom_prune(rk, sk, bloom_args)
+                return (jnp.where(mask, sk, jnp.int32(Relation.PAD_KEY)),
+                        s_after)
+            sk_in, s_after_dev = prologue(R.key, S.key)
+            s_after = int(s_after_dev)
+        else:
+            sk_in, s_after = S.key, -1
+        plan = prho_join.plan_prho_join(
+            R.key, R.payload, sk_in, S.payload, lo, hi, interpret=interpret,
+            num_radix_bits=cfg.radix.num_radix_bits)
+        if plan is None:
+            return None
+        while len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+            _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+        _PLAN_CACHE[ck] = (plan, s_after, R.key, S.key)
+    else:
+        plan, s_after = hit[0], hit[1]
+    compile_usec = (time.perf_counter() - t0) * 1e6
+
+    part_usec = plan.time_partition()
+    probe_usec = plan.time_probe()
+    total_usec = None
+    for i in range(max(1, inner_repeats)):
+        t0 = time.perf_counter()
+        cnt, sr, ss = plan.count3(chain=i)
+        dt = (time.perf_counter() - t0) * 1e6
+        total_usec = dt if total_usec is None else min(total_usec, dt)
+
+    stats = JoinStats(
+        total_usec=total_usec, part_usec=part_usec, probe_usec=probe_usec,
+        build_usec=plan.build_usec, result=cnt, num_s_tuples=S.capacity,
+        s_after_filter=None if s_after < 0 else s_after,
+        compile_usec=compile_usec, tier="pallas_prho")
+    result = JoinResult(total_results=cnt,
+                        s_after_filter=None if s_after < 0 else s_after)
+    return result, stats, (sr, ss)
+
+
 def run_join(name: str, R: Relation, S: Relation,
              cfg: EngineConfig = EngineConfig(),
              bloom_args: Optional[BloomArgs] = None,
@@ -329,6 +394,12 @@ def run_join(name: str, R: Relation, S: Relation,
         if out is not None:
             return out
         tier = "ht" if key_range is not None else "sortscan"
+    elif tier == "pallas_prho":
+        out = _run_pallas_prho(spec, R, S, cfg, bloom_args, inner_repeats,
+                               key_range)
+        if out is not None:
+            return out
+        tier = "ht"
 
     phases, fused = _phase_fns(spec, cfg, bloom_args, tier, key_range)
 

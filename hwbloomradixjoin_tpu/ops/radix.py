@@ -287,8 +287,12 @@ class RadixGeom:
 DEFAULT_GEOM = RadixGeom()
 
 
-def _partition_kernel_for(geom):
-    def _partition_kernel(kin_ref, kout_ref, starts_ref):
+def _partition_kernel_for(geom, with_payload: bool = False):
+    def _partition_kernel(kin_ref, *rest):
+        if with_payload:
+            pin_ref, kout_ref, pout_ref, starts_ref = rest
+        else:
+            (kout_ref, starts_ref) = rest
         key = kin_ref[:]
         valid = key != PAD_KEY
         if geom.hi is not None:
@@ -298,7 +302,12 @@ def _partition_kernel_for(geom):
             norm.astype(jnp.uint32), jnp.uint32(geom.shift)
         ).astype(jnp.int32) & ((1 << geom.part_bits) - 1)
         cat = jnp.where(valid, bucket, 1 << geom.part_bits)
-        cat_s, (key_s,) = split_chunk(cat, [key], geom.part_bits + 1)
+        if with_payload:
+            cat_s, (key_s, pay_s) = split_chunk(cat, [key, pin_ref[:]],
+                                                geom.part_bits + 1)
+            pout_ref[:] = pay_s
+        else:
+            cat_s, (key_s,) = split_chunk(cat, [key], geom.part_bits + 1)
         kout_ref[:] = key_s
         starts_ref[:] = sorted_starts_wide(cat_s, geom.cat_rows)
     return _partition_kernel
@@ -341,6 +350,42 @@ def partition_pass(keys_flat, interpret: bool = False, geom=None):
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(k2)
+
+
+def partition_pass_kv(keys_flat, pays_flat, interpret: bool = False,
+                      geom=None):
+    """partition_pass routing a payload column alongside the keys.
+
+    Returns (keys_out, pays_out, starts).  The payload rides the same split
+    network (the reference scatters whole 8/16-byte tuples,
+    parallel_radix_join.c:735; columnar TPU layout routes the two columns
+    as parallel arrays instead).
+    """
+    geom = geom or DEFAULT_GEOM
+    n = keys_flat.shape[0]
+    chunk = geom.chunk_rows * LANES
+    assert n % chunk == 0, n
+    nchunks = n // chunk
+    k2 = keys_flat.reshape(nchunks * geom.chunk_rows, LANES)
+    p2 = pays_flat.reshape(nchunks * geom.chunk_rows, LANES)
+    cr = geom.chunk_rows
+    car = geom.cat_rows
+    blk = lambda rows: pl.BlockSpec((rows, LANES), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _partition_kernel_for(geom, with_payload=True),
+        grid=(nchunks,),
+        in_specs=[blk(cr), blk(cr)],
+        out_specs=(blk(cr), blk(cr), blk(car)),
+        out_shape=(
+            jax.ShapeDtypeStruct((nchunks * cr, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nchunks * cr, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nchunks * car, LANES), jnp.int32),
+        ),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(k2, p2)
 
 
 def build_gather_descriptors(starts: "np.ndarray", n_rows_src: int,

@@ -99,7 +99,7 @@ def test_run_join_ht_tier_phases():
     want = native.ref_join(rk, rp, sk, sp)
     R = Relation.from_numpy(rk, rp)
     S = Relation.from_numpy(sk, sp)
-    res, st, (sr, ss) = run_join("PRHO", R, S, EngineConfig())
+    res, st, (sr, ss) = run_join("NPO", R, S, EngineConfig())
     assert st.tier == "ht"
     assert res.count() == want[0]
     assert st.build_usec > 0 and st.probe_usec > 0
@@ -151,3 +151,28 @@ def test_two_pass_via_run_join():
     res, st, _ = run_join("PRO", R, S, cfg)
     assert st.tier == "pallas_radix"
     assert res.count() == want
+
+
+def test_prho_pallas_tier_checksums_cross_engine():
+    """PRHO is a distinct Pallas engine (count-slice gather probe) whose
+    count AND checksums agree with the ht, sortscan, and native engines —
+    the cross-engine agreement methodology of the reference (SURVEY 4.2).
+    Non-unique build side exercises multiplicity."""
+    rng = np.random.default_rng(7)
+    rk = rng.integers(1, 4000, 6000).astype(np.int32)   # non-unique R
+    rp = rng.integers(0, 1 << 30, 6000).astype(np.int32)
+    sk = rng.integers(1, 8000, 30000).astype(np.int32)
+    sp = rng.integers(0, 1 << 30, 30000).astype(np.int32)
+    want, wsr, wss = native.ref_join(rk, rp, sk, sp)
+
+    R = Relation.from_numpy(rk, rp)
+    S = Relation.from_numpy(sk, sp)
+    res, st, (sr, ss) = run_join("PRHO", R, S, EngineConfig(interpret=True))
+    assert st.tier == "pallas_prho"
+    assert res.count() == want
+    assert sr == wsr % 2**32 and ss == wss % 2**32
+    # cross-engine: ht (NPO) and sortscan (PRH) agree
+    for algo, tier in (("NPO", "ht"), ("PRH", "sortscan")):
+        r2, st2, (sr2, ss2) = run_join(algo, R, S, EngineConfig())
+        assert st2.tier == tier
+        assert r2.count() == want and sr2 == sr and ss2 == ss
