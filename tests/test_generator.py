@@ -80,15 +80,23 @@ def test_fullrange_fk_from_pk_exact(golden):
     assert cnt == 40
 
 
-def test_zipf_stats():
-    # bit-exactness vs the reference binary is validated offline; here check
-    # distribution invariants: alphabet coverage and monotone rank frequency
-    keys, pays = G.create_relation_zipf(54321, 200_000, 1000, 1.0)
-    assert keys.min() >= 1 and keys.max() <= 1000
-    counts = np.bincount(keys, minlength=1001)[1:]
-    top = counts.max() / len(keys)
-    assert 0.08 < top < 0.22  # z=1.0, N=1000: top key ~ 13%
-    assert np.array_equal(pays, np.arange(200_000, dtype=np.int32))
+def test_zipf_bit_exact_vs_reference():
+    """create_relation_zipf is BIT-EXACT (same order) vs the reference.
+
+    Goldens dumped from a /tmp build of the reference's seed_generator +
+    create_relation_zipf (src/generator.c:658-676, src/genzipf.c:97-158)
+    for three (seed, n, maxid, z) configs -> tests/fixtures/zipf_golden.npz.
+    """
+    import os
+    gold = np.load(os.path.join(os.path.dirname(__file__), "fixtures",
+                                "zipf_golden.npz"))
+    for seed, n, maxid, z in [(54321, 200_000, 1000, 1.0),
+                              (54321, 100_000, 4096, 0.75),
+                              (12345, 50_000, 65536, 1.25)]:
+        keys, pays = G.create_relation_zipf(seed, n, maxid, z)
+        want = gold[f"zipf_{seed}_{n}_{maxid}_{z}"]
+        assert np.array_equal(np.asarray(keys, np.int32), want)
+        assert np.array_equal(pays, np.arange(n, dtype=np.int32))
 
 
 def test_expected_match_count_formula(golden):
