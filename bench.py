@@ -91,9 +91,13 @@ def main():
             best = stats
     expect = G.expected_uniform_match_count(s_size, 1.0)
 
-    # roofline attainment (the perf-counter replacement, utils/roofline.py)
+    # roofline attainment (the perf-counter replacement, utils/roofline.py);
+    # phases are checked against the binding bound — HBM for streams, the
+    # measured VPU routing model for the split network and probe ladder
     chip = roofline.chip_model()
-    costs = roofline.join_costs(r_size, s_size, passes=1)
+    pb, _, slr = bitmap_join.plan_geometry(1, r_size)
+    costs = roofline.join_costs(r_size, s_size, passes=1, part_bits=pb,
+                                sl_rows=slr)
     measured = {"partition_S": best.part_usec / 1e6,
                 "probe": best.probe_usec / 1e6}
     log(roofline.report(measured, costs, chip))

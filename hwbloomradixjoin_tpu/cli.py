@@ -69,7 +69,51 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-phase dispatch breakdown (SYNCSTATS analog)")
     p.add_argument("--engine-no-dense", action="store_true",
                    help="disable the dense-PK planner fast path")
+    p.add_argument("--engine-devices", type=int, default=0,
+                   help="run the distributed SPMD join over an N-device "
+                        "mesh (psum histograms + all_to_all shuffle; bloom "
+                        "pre-filter before the exchange); 0 = local engine")
     return p
+
+
+def _run_distributed(args, rk, rp, sk, sp, bloom_args):
+    """Run the SPMD distributed join (parallel/dist_join.py) and time it.
+
+    Initializes jax.distributed when launcher env is present (multi-host);
+    otherwise uses the local devices (real chips, or a CPU mesh under
+    XLA_FLAGS=--xla_force_host_platform_device_count=N for validation).
+    """
+    import time
+
+    from hwbloomradixjoin_tpu.parallel import dist_join, mesh as mesh_lib
+    from hwbloomradixjoin_tpu.types import JoinResult
+    from hwbloomradixjoin_tpu.utils.timing import JoinStats
+
+    mesh_lib.init_distributed()
+    mesh = mesh_lib.make_mesh(args.engine_devices)
+
+    # warm: compile + sharding setup excluded from the timed repeats
+    cnt, sr, ss, s_after, ovf = dist_join.dist_join_count(
+        mesh, rk, rp, sk, sp, bloom_args=bloom_args)
+    int(cnt)
+    total = None
+    for rep in range(max(1, args.engine_repeats)):
+        t0 = time.perf_counter()
+        cnt, sr, ss, s_after, ovf = dist_join.dist_join_count(
+            mesh, rk, rp, sk, sp, bloom_args=bloom_args)
+        cnt = int(cnt)
+        dt = (time.perf_counter() - t0) * 1e6
+        total = dt if total is None else min(total, dt)
+    if int(ovf):
+        print(f"[WARN ] shuffle capacity overflow: {int(ovf)} tuples")
+    s_after_i = int(s_after) if bloom_args is not None else -1
+    stats = JoinStats(total_usec=total, probe_usec=total, result=cnt,
+                      num_s_tuples=len(sk),
+                      s_after_filter=None if s_after_i < 0 else s_after_i,
+                      tier=f"dist[{args.engine_devices}]")
+    return JoinResult(
+        total_results=cnt,
+        s_after_filter=None if s_after_i < 0 else s_after_i), stats
 
 
 def main(argv=None) -> int:
@@ -137,15 +181,18 @@ def main(argv=None) -> int:
                        allow_dense=not args.engine_no_dense)
 
     r_stats = None if (args.r_file or args.s_file) else G.r_key_stats(params)
-    R = Relation.from_numpy(rk, rp, stats=r_stats, key8b=args.key8b)
-    S = Relation.from_numpy(sk, sp, key8b=args.key8b)
 
-    best = None
-    for _ in range(max(1, args.engine_repeats)):
-        result, stats, _ = run_join(args.algo, R, S, cfg, bloom_args)
-        if best is None or stats.total_usec < best[1].total_usec:
-            best = (result, stats)
-    result, stats = best
+    if args.engine_devices >= 1:
+        result, stats = _run_distributed(args, rk, rp, sk, sp, bloom_args)
+    else:
+        R = Relation.from_numpy(rk, rp, stats=r_stats, key8b=args.key8b)
+        S = Relation.from_numpy(sk, sp, key8b=args.key8b)
+        best = None
+        for _ in range(max(1, args.engine_repeats)):
+            result, stats, _ = run_join(args.algo, R, S, cfg, bloom_args)
+            if best is None or stats.total_usec < best[1].total_usec:
+                best = (result, stats)
+        result, stats = best
 
     print_timing(stats)
     if args.materialize and args.out_file:
@@ -157,9 +204,12 @@ def main(argv=None) -> int:
                              np.asarray(result.s_payload)[:n])
         print(f"[INFO ] Materialized result written to {args.out_file}")
     if args.verbose:
+        from hwbloomradixjoin_tpu.ops import bitmap_join
         from hwbloomradixjoin_tpu.utils import roofline
+        pb, _, slr = bitmap_join.plan_geometry(1, max(args.r_size, 2))
         costs = roofline.join_costs(args.r_size, args.s_size, passes=1,
-                                    tuple_bytes=tuple_bytes)
+                                    tuple_bytes=tuple_bytes,
+                                    part_bits=pb, sl_rows=slr)
         measured = {"partition_S": stats.part_usec / 1e6,
                     "probe": stats.probe_usec / 1e6}
         print(roofline.report(measured, costs, roofline.chip_model()))

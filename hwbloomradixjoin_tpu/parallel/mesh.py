@@ -15,6 +15,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 AXIS = "d"
 
 
+def init_distributed() -> bool:
+    """Initialize jax.distributed for multi-host meshes from the env.
+
+    The multi-host story (SURVEY.md §2.2 backend row): each host process
+    calls jax.distributed.initialize, then jax.devices() spans every chip
+    of every host and make_mesh builds the global data axis — the shuffle's
+    all_to_all rides ICI within a slice and DCN across slices, compiled by
+    XLA from the same shard_map program as single-host.
+
+    Controlled by env (set by the launcher):
+      HBRJ_COORDINATOR  host:port of process 0
+      HBRJ_NUM_PROCS    total process count
+      HBRJ_PROC_ID      this process's index
+    Returns True if distributed init ran.  Single-process (the only mode
+    exercisable in this environment) is a no-op.
+    """
+    import os
+
+    coord = os.environ.get("HBRJ_COORDINATOR")
+    if not coord:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coord,
+        num_processes=int(os.environ["HBRJ_NUM_PROCS"]),
+        process_id=int(os.environ["HBRJ_PROC_ID"]))
+    return True
+
+
 def make_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:

@@ -39,6 +39,19 @@ def chip_model(device=None) -> ChipModel:
     return CHIPS.get(getattr(device, "device_kind", ""), DEFAULT)
 
 
+# Measured VPU cost model for data-dependent routing on this hardware
+# (tools/microbench.py + the split/ladder experiments, round 3): the
+# bit-serial split network costs ~0.32 ns/elem per routed bit (a structural
+# floor: ~log2(chunk) whole-array VMEM round trips per bit — the TPU has no
+# cross-sublane gather, so any permutation pays the log-shift network), and
+# the VMEM slice probe ladder costs ~0.25 + 0.004*sl_rows ns/elem.  These
+# are the applicable rooflines for the partition and probe phases; the HBM
+# roofline governs only when it is the tighter bound.
+SPLIT_NS_PER_ELEM_BIT = 0.32
+LADDER_NS_BASE = 0.25
+LADDER_NS_PER_ROW = 0.004
+
+
 @dataclasses.dataclass
 class OpCost:
     """Analytic cost of one operator invocation."""
@@ -47,27 +60,42 @@ class OpCost:
     bytes_hbm: int           # HBM bytes read + written
     flops: int = 0
     elems: int = 0
+    vpu_s: float = 0.0       # measured-model VPU-bound seconds (0 = none)
 
     def hbm_bound_s(self, chip: ChipModel) -> float:
         return self.bytes_hbm / (chip.hbm_gbps * 1e9)
 
+    def bound_s(self, chip: ChipModel) -> float:
+        """The binding bound: the slower of HBM and the VPU routing model."""
+        return max(self.hbm_bound_s(chip), self.vpu_s)
+
     def attainment(self, measured_s: float, chip: ChipModel) -> float:
-        bound = self.hbm_bound_s(chip)
+        bound = self.bound_s(chip)
         return bound / measured_s if measured_s > 0 else 0.0
 
 
 def join_costs(n_r: int, n_s: int, passes: int = 0, tuple_bytes: int = 8,
-               count_only: bool = True) -> dict:
-    """Byte accounting for the join phases (per chip).
+               count_only: bool = True, part_bits: int = 0,
+               sl_rows: int = 0) -> dict:
+    """Byte + VPU accounting for the join phases (per chip).
 
-    partition: each pass streams the relation in and out (2x);
-    probe: reads S keys (+payloads if materializing) and R once.
+    partition: each pass streams the relation in and out (2x) and pays the
+    split-network VPU cost for its radix bits (+1 pad category bit);
+    probe: reads S keys (+payloads if materializing) and the bitmap once,
+    and pays the slice-ladder VPU cost.
     """
     kb = 4 if count_only else tuple_bytes
+    split_s = (part_bits + 1) * SPLIT_NS_PER_ELEM_BIT * 1e-9 if part_bits \
+        else 0.0
+    ladder_s = (LADDER_NS_BASE + LADDER_NS_PER_ROW * sl_rows) * 1e-9 \
+        if sl_rows else 0.0
     return {
-        "partition_R": OpCost("partition_R", 2 * passes * n_r * kb, elems=n_r),
-        "partition_S": OpCost("partition_S", 2 * passes * n_s * kb, elems=n_s),
-        "probe": OpCost("probe", n_s * kb + n_r * kb, elems=n_s),
+        "partition_R": OpCost("partition_R", 2 * passes * n_r * kb,
+                              elems=n_r, vpu_s=n_r * split_s * passes),
+        "partition_S": OpCost("partition_S", 2 * passes * n_s * kb,
+                              elems=n_s, vpu_s=n_s * split_s * passes),
+        "probe": OpCost("probe", n_s * kb + n_r * kb, elems=n_s,
+                        vpu_s=n_s * ladder_s),
         "dense_count": OpCost("dense_count", n_s * tuple_bytes, elems=n_s),
     }
 
@@ -84,6 +112,8 @@ def report(measured: dict[str, float], costs: dict[str, OpCost],
         att = c.attainment(secs, chip)
         gbs = c.bytes_hbm / secs / 1e9
         rate = c.elems / secs / 1e9 if c.elems else 0.0
+        bound = "vpu" if c.vpu_s > c.hbm_bound_s(chip) else "hbm"
         lines.append(f"  {name:14s} {secs*1e3:9.2f} ms  {gbs:7.1f} GB/s "
-                     f"{rate:7.2f} G rows/s  attainment {att*100:5.1f}%")
+                     f"{rate:7.2f} G rows/s  attainment {att*100:5.1f}% "
+                     f"(vs {bound} bound)")
     return "\n".join(lines)

@@ -40,6 +40,8 @@ class JoinConfig:
     no_dense: bool = False            # disable the dense-PK planner shortcut
     backend: str = "auto"
     repeats: int = 1
+    devices: int = 0                  # dist mesh size (0 = local engine)
+    passes: int = 1                   # radix passes (--engine-passes)
 
     def to_args(self) -> list[str]:
         args = [
@@ -66,6 +68,10 @@ class JoinConfig:
             args.append("--engine-no-pallas")
         if self.no_dense:
             args.append("--engine-no-dense")
+        if self.devices >= 1:
+            args += ["--engine-devices", str(self.devices)]
+        if self.passes != 1:
+            args += ["--engine-passes", str(self.passes)]
         if self.backend != "auto":
             args += ["--engine-backend", self.backend]
         if self.repeats > 1:

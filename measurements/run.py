@@ -68,10 +68,14 @@ def parse_result(res: str) -> dict:
     }
 
 
-def run_one(cfg: JoinConfig, timeout: int = 1200) -> dict:
+def run_one(cfg: JoinConfig, timeout: int = 1200, env: dict | None = None) -> dict:
     cmd = [sys.executable, "-m", "hwbloomradixjoin_tpu.cli"] + cfg.to_args()
     t0 = time.time()
+    run_env = dict(os.environ)
+    if env:
+        run_env.update(env)
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout,
+                          env=run_env,
                           cwd=os.path.dirname(os.path.dirname(
                               os.path.abspath(__file__))))
     if proc.returncode != 0:
@@ -180,9 +184,52 @@ def sweep_never_single_pass(backend="auto", r_size=1_000_000,
     return save_data(rows, "never_single_pass")
 
 
+def sweep_scaling(r_size=500_000, s_size=4_000_000, max_devices=8):
+    """Device-count scaling: 1 -> N mesh devices, efficiency column.
+
+    Runs the distributed SPMD join (psum histograms + all_to_all shuffle)
+    on a virtual CPU mesh (xla_force_host_platform_device_count) so the
+    sweep works without a pod slice; on real multi-chip hardware the same
+    flags run over ICI.  Efficiency = T(1) / (N * T(N)) on rows/s.
+    """
+    rows = []
+    env = {"JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": f"--xla_force_host_platform_device_count={max_devices}"}
+    base = None
+    n = 1
+    while n <= max_devices:
+        cfg = JoinConfig(algorithm="PRO", r_size=r_size, s_size=s_size,
+                         selectivity=0.25, backend="cpu", devices=n,
+                         repeats=3)
+        row = run_one(cfg, env=env)
+        row["devices"] = n
+        if base is None:
+            base = row["time-usecs"]
+        row["scaling-efficiency"] = base / (n * row["time-usecs"])
+        rows.append(row)
+        n *= 2
+    return save_data(rows, "scaling")
+
+
+def sweep_passes(backend="auto", r_size=1_000_000, s_size=8_000_000):
+    """NUM_PASSES axis: 1-pass vs 2-pass partitioning at forced fan-out."""
+    rows = []
+    range_bits = max((r_size - 1).bit_length(), 12)
+    bits = max(range_bits - 14, 2)
+    for passes in (1, 2):
+        cfg = JoinConfig(algorithm="PRO", r_size=r_size, s_size=s_size,
+                         radix_bits=bits, no_dense=True, passes=passes,
+                         backend=backend)
+        row = run_one(cfg)
+        row["passes"] = passes
+        rows.append(row)
+    return save_data(rows, "passes")
+
+
 SWEEPS = {"quick": sweep_quick, "bloom": sweep_bloom, "params": sweep_params,
           "radix_bits": sweep_radix_bits,
-          "never_single_pass": sweep_never_single_pass}
+          "never_single_pass": sweep_never_single_pass,
+          "scaling": sweep_scaling, "passes": sweep_passes}
 
 
 if __name__ == "__main__":
