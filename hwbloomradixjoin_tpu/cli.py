@@ -69,6 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-phase dispatch breakdown (SYNCSTATS analog)")
     p.add_argument("--engine-no-dense", action="store_true",
                    help="disable the dense-PK planner fast path")
+    p.add_argument("--engine-trace", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the timed join "
+                        "into DIR (xprof/tensorboard; replaces the "
+                        "reference's perf-counter hooks)")
     p.add_argument("--engine-devices", type=int, default=0,
                    help="run the distributed SPMD join over an N-device "
                         "mesh (psum histograms + all_to_all shuffle; bloom "
@@ -187,12 +191,19 @@ def main(argv=None) -> int:
     else:
         R = Relation.from_numpy(rk, rp, stats=r_stats, key8b=args.key8b)
         S = Relation.from_numpy(sk, sp, key8b=args.key8b)
+        from hwbloomradixjoin_tpu.utils import profiling
         best = None
-        for _ in range(max(1, args.engine_repeats)):
-            result, stats, _ = run_join(args.algo, R, S, cfg, bloom_args)
-            if best is None or stats.total_usec < best[1].total_usec:
-                best = (result, stats)
+        with profiling.trace(args.engine_trace or "/tmp/hbrj_trace",
+                             enabled=args.engine_trace is not None):
+            for _ in range(max(1, args.engine_repeats)):
+                with profiling.annotate(f"join:{args.algo}"):
+                    result, stats, _ = run_join(args.algo, R, S, cfg,
+                                                bloom_args)
+                if best is None or stats.total_usec < best[1].total_usec:
+                    best = (result, stats)
         result, stats = best
+        if args.engine_trace:
+            print(f"[INFO ] Profiler trace written to {args.engine_trace}")
 
     print_timing(stats)
     if args.materialize and args.out_file:

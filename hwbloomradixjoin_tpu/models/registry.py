@@ -223,6 +223,48 @@ def _phase_fns(spec: AlgoSpec, cfg: EngineConfig,
     raise ValueError(f"unknown tier {tier}")
 
 
+def _bloom_prologue(R: Relation, S: Relation,
+                    bloom_args: Optional[BloomArgs], interpret: bool,
+                    allow_pallas: bool = True):
+    """Prune S with the filter; returns (sk_in, s_after, prune_usec).
+
+    Prefers the Pallas VMEM blocked-bloom pipeline (hash-partition + slice
+    probe, ops/bloom_pallas.py — the fused hardware-conscious path, output
+    in hash-partitioned order); falls back to the portable XLA filter for
+    the basic variant, oversized m, or callers needing positional order.
+    prune_usec is a steady-state measurement (second, warmed run).
+    """
+    if bloom_args is None:
+        return S.key, -1, 0.0
+
+    from hwbloomradixjoin_tpu.ops import bloom_pallas
+
+    bp = bloom_pallas.plan_bloom_prune(
+        R.key, S.key, bloom_args, interpret=interpret) if allow_pallas \
+        else None
+    if bp is not None:
+        sk_in, n = bp.prune_fn(jnp.int32(0))
+        s_after = int(n)
+        t0 = time.perf_counter()
+        sk_in, n2 = bp.prune_fn(jnp.int32(1))
+        int(n2)
+        prune_usec = (time.perf_counter() - t0) * 1e6
+        return sk_in.reshape(-1), s_after, prune_usec
+
+    @jax.jit
+    def prologue(rk, sk, chain):
+        mask, s_after = bloom_join.bloom_prune(rk, sk + chain * 0,
+                                               bloom_args)
+        return jnp.where(mask, sk, jnp.int32(Relation.PAD_KEY)), s_after
+    sk_in, s_after_dev = prologue(R.key, S.key, jnp.int32(0))
+    s_after = int(s_after_dev)
+    t0 = time.perf_counter()
+    sk_in, n2 = prologue(R.key, S.key, jnp.int32(1))
+    int(n2)
+    prune_usec = (time.perf_counter() - t0) * 1e6
+    return sk_in, s_after, prune_usec
+
+
 def _run_pallas_radix(spec: AlgoSpec, R: Relation, S: Relation,
                       cfg: EngineConfig, bloom_args: Optional[BloomArgs],
                       inner_repeats: int, key_range):
@@ -248,16 +290,8 @@ def _run_pallas_radix(spec: AlgoSpec, R: Relation, S: Relation,
     t0 = time.perf_counter()
     hit = _PLAN_CACHE.get(ck)
     if hit is None:
-        if bloom_args is not None:
-            @jax.jit
-            def prologue(rk, sk):
-                mask, s_after = bloom_join.bloom_prune(rk, sk, bloom_args)
-                return (jnp.where(mask, sk, jnp.int32(Relation.PAD_KEY)),
-                        s_after)
-            sk_in, s_after_dev = prologue(R.key, S.key)
-            s_after = int(s_after_dev)
-        else:
-            sk_in, s_after = S.key, -1
+        sk_in, s_after, prune_usec = _bloom_prologue(R, S, bloom_args,
+                                                     interpret)
         plan = None
         if cfg.radix.passes == 2:
             from hwbloomradixjoin_tpu.ops import multipass
@@ -272,22 +306,23 @@ def _run_pallas_radix(spec: AlgoSpec, R: Relation, S: Relation,
             return None
         while len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
             _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
-        _PLAN_CACHE[ck] = (plan, s_after, R.key, S.key)  # pin ids
+        _PLAN_CACHE[ck] = (plan, s_after, prune_usec, R.key, S.key)
     else:
-        plan, s_after = hit[0], hit[1]
+        plan, s_after, prune_usec = hit[0], hit[1], hit[2]
     compile_usec = (time.perf_counter() - t0) * 1e6
 
     # real per-phase device timing (separate synced dispatches, once)
-    part_usec = plan.time_partition()
+    part_usec = plan.time_partition() + prune_usec
     probe_usec = plan.time_probe()
     # steady state: one fused device program per repeat (partition ->
-    # descriptor derivation -> probe); the varying `chain` defeats the
-    # remote runtime's dispatch cache
+    # descriptor derivation -> probe); the prune phase ran once at plan
+    # time, so its measured cost is added back to every repeat (the
+    # reference evaluates the filter inside each timed pass-1)
     total_usec = None
     for i in range(max(1, inner_repeats)):
         t0 = time.perf_counter()
         cnt = plan.count(chain=i)
-        dt = (time.perf_counter() - t0) * 1e6
+        dt = (time.perf_counter() - t0) * 1e6 + prune_usec
         total_usec = dt if total_usec is None else min(total_usec, dt)
 
     stats = JoinStats(
@@ -320,16 +355,12 @@ def _run_pallas_prho(spec: AlgoSpec, R: Relation, S: Relation,
     t0 = time.perf_counter()
     hit = _PLAN_CACHE.get(ck)
     if hit is None:
-        if bloom_args is not None:
-            @jax.jit
-            def prologue(rk, sk):
-                mask, s_after = bloom_join.bloom_prune(rk, sk, bloom_args)
-                return (jnp.where(mask, sk, jnp.int32(Relation.PAD_KEY)),
-                        s_after)
-            sk_in, s_after_dev = prologue(R.key, S.key)
-            s_after = int(s_after_dev)
-        else:
-            sk_in, s_after = S.key, -1
+        # the Pallas prune re-orders S (hash-partitioned layout); PRHO's
+        # payload column must stay positionally aligned with the keys, so
+        # it uses the order-preserving XLA prune
+        sk_in, s_after, prune_usec = _bloom_prologue(R, S, bloom_args,
+                                                     interpret,
+                                                     allow_pallas=False)
         plan = prho_join.plan_prho_join(
             R.key, R.payload, sk_in, S.payload, lo, hi, interpret=interpret,
             num_radix_bits=cfg.radix.num_radix_bits)
@@ -337,18 +368,18 @@ def _run_pallas_prho(spec: AlgoSpec, R: Relation, S: Relation,
             return None
         while len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
             _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
-        _PLAN_CACHE[ck] = (plan, s_after, R.key, S.key)
+        _PLAN_CACHE[ck] = (plan, s_after, prune_usec, R.key, S.key)
     else:
-        plan, s_after = hit[0], hit[1]
+        plan, s_after, prune_usec = hit[0], hit[1], hit[2]
     compile_usec = (time.perf_counter() - t0) * 1e6
 
-    part_usec = plan.time_partition()
+    part_usec = plan.time_partition() + prune_usec
     probe_usec = plan.time_probe()
     total_usec = None
     for i in range(max(1, inner_repeats)):
         t0 = time.perf_counter()
         cnt, sr, ss = plan.count3(chain=i)
-        dt = (time.perf_counter() - t0) * 1e6
+        dt = (time.perf_counter() - t0) * 1e6 + prune_usec
         total_usec = dt if total_usec is None else min(total_usec, dt)
 
     stats = JoinStats(

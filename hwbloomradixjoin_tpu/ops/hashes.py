@@ -22,10 +22,11 @@ semantics: bytes >= 0x80 are sign-extended before mixing.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from hwbloomradixjoin_tpu.ops import u32 as U
 
-_CRC32C_POLY_REFLECTED = jnp.uint32(0x82F63B78)
+_CRC32C_POLY_REFLECTED = np.uint32(0x82F63B78)  # np scalar: inlines as a literal in Pallas kernels
 
 
 def _key_bytes(key, key_hi=None):

@@ -271,7 +271,8 @@ class RadixGeom:
 
     def __init__(self, chunk_rows=CHUNK_ROWS, part_bits=PART_BITS,
                  s_segs=S_SEGS, r_segs=R_SEGS,
-                 lo=0, hi=None, shift=0):
+                 lo=0, hi=None, shift=0,
+                 hash_seed=None, hash_bits=0):
         self.chunk_rows = chunk_rows
         self.part_bits = part_bits
         self.s_segs = s_segs
@@ -279,6 +280,11 @@ class RadixGeom:
         self.lo = lo
         self.hi = hi
         self.shift = shift
+        # hash mode: bucket = crc32c(hash_seed, key) >> (hash_bits -
+        # part_bits) — partitioning S by bloom BLOCK index so filter slices
+        # are VMEM-resident in the probe (ops/bloom_pallas.py)
+        self.hash_seed = hash_seed
+        self.hash_bits = hash_bits
         # buckets + pad category, rounded up to a multiple of 8 rows so the
         # starts output block is Mosaic-tileable (sublane divisibility)
         cr = ((1 << part_bits) + 1 + LANES - 1) // LANES
@@ -295,12 +301,19 @@ def _partition_kernel_for(geom, with_payload: bool = False):
             (kout_ref, starts_ref) = rest
         key = kin_ref[:]
         valid = key != PAD_KEY
-        if geom.hi is not None:
-            valid = valid & (key >= geom.lo) & (key <= geom.hi)
-        norm = key - jnp.int32(geom.lo)
-        bucket = jax.lax.shift_right_logical(
-            norm.astype(jnp.uint32), jnp.uint32(geom.shift)
-        ).astype(jnp.int32) & ((1 << geom.part_bits) - 1)
+        if geom.hash_seed is not None:
+            from hwbloomradixjoin_tpu.ops import hashes
+            block = hashes.hash_crc(jnp.uint32(geom.hash_seed), key) \
+                & jnp.uint32((1 << geom.hash_bits) - 1)
+            bucket = (block >> (geom.hash_bits - geom.part_bits)
+                      ).astype(jnp.int32)
+        else:
+            if geom.hi is not None:
+                valid = valid & (key >= geom.lo) & (key <= geom.hi)
+            norm = key - jnp.int32(geom.lo)
+            bucket = jax.lax.shift_right_logical(
+                norm.astype(jnp.uint32), jnp.uint32(geom.shift)
+            ).astype(jnp.int32) & ((1 << geom.part_bits) - 1)
         cat = jnp.where(valid, bucket, 1 << geom.part_bits)
         if with_payload:
             cat_s, (key_s, pay_s) = split_chunk(cat, [key, pin_ref[:]],

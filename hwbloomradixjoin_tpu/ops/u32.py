@@ -12,9 +12,10 @@ All functions take/return uint32 arrays (uint64 values as (hi, lo) pairs).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 U32 = jnp.uint32
-_MASK16 = jnp.uint32(0xFFFF)
+_MASK16 = np.uint32(0xFFFF)  # np scalar: inlines in Pallas kernels
 
 
 def u32(x):

@@ -66,3 +66,25 @@ def test_materialize_unique_build():
     got = sorted(zip(out_k[:cnt].tolist(), out_r[:cnt].tolist(),
                      out_s[:cnt].tolist()))
     assert got == want
+
+
+def test_radix_cluster_pallas_operator():
+    """Standalone Pallas radix-cluster: per-chunk bucket runs + starts."""
+    import jax
+    import numpy as np
+
+    from hwbloomradixjoin_tpu.ops import sort as S
+
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 1 << 16, 40000).astype(np.int32)
+    out, starts = jax.jit(
+        lambda k: S.radix_cluster(k, 0, (1 << 16) - 1, 4, interpret=True)
+    )(keys)
+    out = np.asarray(out).ravel()
+    st = np.asarray(starts).reshape(1, -1)[0]
+    # chunk 0 holds all 40000 keys; check each bucket run's contents
+    for b in range(16):
+        run = out[st[b]:st[b + 1]]
+        assert (run >> 12 == b).all()
+    got = np.sort(out[:st[16]])
+    assert np.array_equal(got, np.sort(keys))
