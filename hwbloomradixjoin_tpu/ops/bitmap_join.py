@@ -109,40 +109,58 @@ class ProbeGeom:
     lo: int
     chunk_rows: int
     nchunks: int
-    c_rows: int           # DMA window rows per (chunk, bucket) run
+    c_rows: int           # DMA window rows per (chunk, bucket) run tile
     ch_per_step: int      # chunks served per probe grid step
     ngroups: int          # chunk groups = grid steps per bucket
+    # heavy runs (key skew) span several c_rows tiles instead of inflating
+    # every window to the max run — the single-chip skew handling (the
+    # reference's SKEW_HANDLING splits oversized partitions the same way,
+    # parallel_radix_join_bloom.c:1175-1415)
+    ntiles: int = 1
 
     @property
     def grid(self):
-        return (1 << self.part_bits) * self.ngroups
+        return (1 << self.part_bits) * self.ngroups * self.ntiles
 
 
 def derive_descs(starts, geom: ProbeGeom):
-    """Device-side: partition starts -> (G, ch_per_step) DMA row table.
+    """Device-side: partition starts -> DMA row + ownership descriptors.
 
     starts: (nchunks, cat_rows, 128) int32 from partition_pass (suffix-
-    filled flat start offsets per category).  The only descriptor needed is
-    the window's source row: row[c, b] = c*chunk_rows + clamp(start>>7),
-    clamped so the c_rows-row window always stays inside chunk c — masks
-    recomputed from keys in-kernel do the rest (no vs/ve tables; the round-2
-    equivalent of the reference's task descriptors,
-    parallel_radix_join.c:1130-1270, shrinks to one int per task).
+    filled flat start offsets per category).  Two int32 per task: the DMA
+    window's source row (clamped inside the chunk) and the tile's
+    UNCLAMPED ownership start — in-kernel, an element counts only when its
+    absolute row lies in its tile's ownership range (dedupes tiles of one
+    run) and its key's bucket matches the step (dedupes across buckets).
+    This replaces the round-2 vs/ve tables; the reference's task
+    descriptors (parallel_radix_join.c:1130-1270) shrink to two ints.
     """
     F = 1 << geom.part_bits
     nchunks, ngroups, ch = geom.nchunks, geom.ngroups, geom.ch_per_step
+    nt, c_rows = geom.ntiles, geom.c_rows
     st = starts.reshape(nchunks, -1)[:, :F]                # (nchunks, F)
-    r0 = jnp.minimum(st >> 7, geom.chunk_rows - geom.c_rows)
-    row = (jnp.arange(nchunks, dtype=jnp.int32)[:, None] * geom.chunk_rows
-           + r0)
+    base = jnp.arange(nchunks, dtype=jnp.int32)[:, None] * geom.chunk_rows
+    ustart = base + (st >> 7)                              # unclamped
+    hi_row = jnp.broadcast_to(base + (geom.chunk_rows - c_rows),
+                              ustart.shape)
     pad = ngroups * ch - nchunks
     if pad:
-        row = jnp.concatenate([row, jnp.zeros((pad, F), jnp.int32)])
-    # (nchunks', F) -> (F, ngroups, ch) -> (F*ngroups, 1, ch); the middle
-    # singleton makes the (1, 1, ch) SMEM block legal (last two block dims
-    # must divide (8, 128) or equal the array dims)
-    return (row.reshape(ngroups, ch, F).transpose(2, 0, 1)
-            .reshape(F * ngroups, 1, ch))
+        z = jnp.zeros((pad, F), jnp.int32)
+        ustart = jnp.concatenate([ustart, z])
+        hi_row = jnp.concatenate([hi_row, z])
+
+    def arrange(a):
+        # (nchunks', F) -> (F, ngroups, ch) -> (F, ngroups, 1, ch)
+        return (a.reshape(ngroups, ch, F).transpose(2, 0, 1)
+                .reshape(F, ngroups, 1, ch))
+
+    us = arrange(ustart)[:, :, None]                   # (F, ngroups, 1,1,ch)
+    hi = arrange(hi_row)[:, :, None]
+    tile = (jnp.arange(nt, dtype=jnp.int32) * c_rows).reshape(1, 1, nt, 1, 1)
+    own = us + tile                                    # ownership start
+    row = jnp.minimum(own, hi)                         # clamped DMA row
+    shape = (F * ngroups * nt, 1, ch)
+    return row.reshape(shape), own.reshape(shape)
 
 
 def _probe_kernel_for(geom: ProbeGeom):
@@ -151,14 +169,15 @@ def _probe_kernel_for(geom: ProbeGeom):
     ch = geom.ch_per_step
     ngroups = geom.ngroups
     nchunks = geom.nchunks
+    nt = geom.ntiles
     lo = geom.lo
     shift = geom.shift
 
-    def kern(row_d, bm_ref, s_ref, out_ref, sbuf, sem, acc):
+    def kern(row_d, own_d, bm_ref, s_ref, out_ref, sbuf, sem, acc):
         g = pl.program_id(0)
         ng = pl.num_programs(0)
-        b = g // ngroups                 # this step's bucket
-        gi = g - b * ngroups             # chunk-group index
+        b = g // (ngroups * nt)          # this step's bucket
+        gi = (g // nt) - b * ngroups     # chunk-group index
 
         @pl.when(g == 0)
         def _():
@@ -180,14 +199,20 @@ def _probe_kernel_for(geom: ProbeGeom):
 
         sl = bm_ref[:]                   # (sl_rows, 128) bucket slice
         live_rows = nlive * c_rows
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
 
         def sub(u, _):
+            t = u // (c_rows // 8)       # chunk slot of this sub-block
             r = pl.multiple_of(u * 8, 8)
             k = sbuf[pl.ds(r, 8), :]
             norm = k - jnp.int32(lo)
             # bucket check on the FULL arithmetic shift: PAD keys and other
-            # buckets (incl. window rows preceding the run) never alias b
-            ok = (norm >> shift) == b
+            # buckets (incl. window rows preceding the run) never alias b;
+            # ownership check dedupes the tiles of a heavy run
+            abs_row = row_d[0, 0, t] + (r - t * c_rows) + row_iota
+            owned = (abs_row >= own_d[0, 0, t]) \
+                & (abs_row < own_d[0, 0, t] + c_rows)
+            ok = ((norm >> shift) == b) & owned
             w = (norm >> 5) & (sl_rows * LANES - 1)
             lane = w & (LANES - 1)
             rowj = w >> 7
@@ -212,18 +237,20 @@ def _probe_kernel_for(geom: ProbeGeom):
     return kern
 
 
-def bitmap_probe_count(bitmap, s_part, row_d, geom: ProbeGeom,
+def bitmap_probe_count(bitmap, s_part, row_d, own_d, geom: ProbeGeom,
                        interpret: bool = False):
-    """Count S matches: grid over (bucket x chunk-group) probe steps."""
+    """Count S matches: grid over (bucket x chunk-group x tile) steps."""
     G = geom.grid
+    gnt = geom.ngroups * geom.ntiles
+    smem_desc = pl.BlockSpec((1, 1, geom.ch_per_step), lambda g: (g, 0, 0),
+                             memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         _probe_kernel_for(geom),
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, 1, geom.ch_per_step), lambda g: (g, 0, 0),
-                         memory_space=pltpu.SMEM),
+            smem_desc, smem_desc,
             pl.BlockSpec((geom.sl_rows, LANES),
-                         lambda g, ngroups=geom.ngroups: (g // ngroups, 0),
+                         lambda g, gnt=gnt: (g // gnt, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -237,7 +264,7 @@ def bitmap_probe_count(bitmap, s_part, row_d, geom: ProbeGeom,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=VMEM_LIMIT),
-    )(row_d, bitmap, s_part)
+    )(row_d, own_d, bitmap, s_part)
     return out[0, 0]
 
 
@@ -274,18 +301,28 @@ class RadixJoinPlan:
         return self._time(self.probe_fn)
 
 
+C_ROWS_CAP = 1024          # tile cap: heavy runs span tiles, not windows
+
+
 def _probe_geom(part_bits, shift, sl_rows, lo, chunk_rows, nchunks,
-                max_run_elems):
-    """Fix the probe window/staging geometry from the observed max run."""
+                max_run_elems, c_rows_cap: Optional[int] = None):
+    """Fix the probe window/staging geometry from the observed max run.
+
+    c_rows is capped: a skewed run larger than the cap is served by
+    multiple ownership-masked tiles instead of inflating every window
+    (single-chip skew handling; no fallback bail-out remains).
+    """
+    if c_rows_cap is None:
+        c_rows_cap = C_ROWS_CAP          # read at call time (testable)
     run_rows = -(-int(max_run_elems) // LANES) + 1   # +1 boundary row
-    c_rows = min((run_rows + 7) & ~7, chunk_rows)    # 8-row sub-blocks
-    if c_rows > SBUF_BUDGET_ROWS:
-        return None                                   # heavy skew
+    c_rows = min((run_rows + 7) & ~7, chunk_rows, c_rows_cap)
+    ntiles = max(1, -(-run_rows // c_rows))
     ch = max(1, min(32, SBUF_BUDGET_ROWS // c_rows, nchunks))
     ngroups = -(-nchunks // ch)
     return ProbeGeom(part_bits=part_bits, shift=shift, sl_rows=sl_rows,
                      lo=lo, chunk_rows=chunk_rows, nchunks=nchunks,
-                     c_rows=c_rows, ch_per_step=ch, ngroups=ngroups)
+                     c_rows=c_rows, ch_per_step=ch, ngroups=ngroups,
+                     ntiles=ntiles)
 
 
 def plan_radix_join(r_key, s_key, lo: int, hi: int,
@@ -324,20 +361,18 @@ def plan_radix_join(r_key, s_key, lo: int, hi: int,
     max_run = int((st[:, 1:] - st[:, :-1]).max()) if nchunks else 1
     geom = _probe_geom(part_bits, shift, sl_rows, lo, chunk_rows, nchunks,
                        max_run)
-    if geom is None:
-        return None
 
     def count_from(sk, chain):
         sp, stt = part(sk, chain)
-        row_d = derive_descs(stt.reshape(nchunks, -1, LANES), geom)
-        return bitmap_probe_count(bitmap, sp, row_d, geom,
+        row_d, own_d = derive_descs(stt.reshape(nchunks, -1, LANES), geom)
+        return bitmap_probe_count(bitmap, sp, row_d, own_d, geom,
                                   interpret=interpret)
 
     count_jit = jax.jit(count_from)
-    row_d0 = jax.jit(lambda stt: derive_descs(
+    descs0 = jax.jit(lambda stt: derive_descs(
         stt.reshape(nchunks, -1, LANES), geom))(starts)
     probe_jit = jax.jit(lambda sp, rd, chain: bitmap_probe_count(
-        bitmap, sp + chain * 0, rd, geom, interpret=interpret))
+        bitmap, sp + chain * 0, rd[0], rd[1], geom, interpret=interpret))
     # phase timing must read back a SCALAR (a full-array fetch crawls
     # through the tunnel); the sum is data-dependent on the whole pass
     part_scalar = jax.jit(
@@ -348,7 +383,7 @@ def plan_radix_join(r_key, s_key, lo: int, hi: int,
     return RadixJoinPlan(
         count_fn=lambda c: count_jit(sk_in, c),
         part_fn=lambda c: part_scalar(sk_in, c),
-        probe_fn=lambda c: probe_jit(s_part, row_d0, c),
+        probe_fn=lambda c: probe_jit(s_part, descs0, c),
         s_tuples=int(s_key.shape[0]),
         build_usec=build_usec,
         geom=geom)

@@ -75,16 +75,17 @@ def _probe_kernel_for(geom: bitmap_join.ProbeGeom, args: BloomArgs,
     ch = geom.ch_per_step
     ngroups = geom.ngroups
     nchunks = geom.nchunks
+    nt = geom.ntiles
     part_bits = geom.part_bits
     bmask = (1 << hash_bits) - 1
     blocks_per_slice_mask = (1 << max(hash_bits - part_bits, 0)) - 1
     b_words = args.B // 32
 
-    def kern(row_d, sl_ref, s_ref, out_keys, out_n, sbuf, sem, acc):
+    def kern(row_d, own_d, sl_ref, s_ref, out_keys, out_n, sbuf, sem, acc):
         g = pl.program_id(0)
         ng = pl.num_programs(0)
-        b = g // ngroups
-        gi = g - b * ngroups
+        b = g // (ngroups * nt)
+        gi = (g // nt) - b * ngroups
 
         @pl.when(g == 0)
         def _():
@@ -106,16 +107,22 @@ def _probe_kernel_for(geom: bitmap_join.ProbeGeom, args: BloomArgs,
 
         sl = sl_ref[:]
         live_rows = nlive * c_rows
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
 
         def sub(u, _):
+            t = u // (c_rows // 8)
             r = pl.multiple_of(u * 8, 8)
             k = sbuf[pl.ds(r, 8), :]
             block = hashes.hash_crc(jnp.uint32(args.seed), k) \
                 & jnp.uint32(bmask)
             mine = ((block >> (hash_bits - part_bits)).astype(jnp.int32)
                     == b) if part_bits else jnp.full(k.shape, True)
-            # rows past the live window hold stale staging data -> PAD out
-            mine = mine & (k != PAD_KEY) & (u * 8 < live_rows)
+            # rows past the live window hold stale staging data -> PAD out;
+            # the ownership range dedupes the tiles of a heavy run
+            abs_row = row_d[0, 0, t] + (r - t * c_rows) + row_iota
+            owned = (abs_row >= own_d[0, 0, t]) \
+                & (abs_row < own_d[0, 0, t] + c_rows)
+            mine = mine & (k != PAD_KEY) & (u * 8 < live_rows) & owned
             local = (block & jnp.uint32(blocks_per_slice_mask)
                      ).astype(jnp.int32)
             base_w = local * b_words
@@ -150,7 +157,7 @@ def _probe_kernel_for(geom: bitmap_join.ProbeGeom, args: BloomArgs,
     return kern
 
 
-def bloom_probe_prune(bitmap_words, s_part, row_d,
+def bloom_probe_prune(bitmap_words, s_part, row_d, own_d,
                       geom: bitmap_join.ProbeGeom, args: BloomArgs,
                       hash_bits: int, interpret: bool = False):
     """Prune hash-partitioned S against the filter.
@@ -159,15 +166,17 @@ def bloom_probe_prune(bitmap_words, s_part, row_d,
     PAD, each survivor exactly once — and the survivor count).
     """
     G = geom.grid
+    gnt = geom.ngroups * geom.ntiles
     win = geom.ch_per_step * geom.c_rows
+    smem_desc = pl.BlockSpec((1, 1, geom.ch_per_step), lambda g: (g, 0, 0),
+                             memory_space=pltpu.SMEM)
     outs = pl.pallas_call(
         _probe_kernel_for(geom, args, hash_bits),
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, 1, geom.ch_per_step), lambda g: (g, 0, 0),
-                         memory_space=pltpu.SMEM),
+            smem_desc, smem_desc,
             pl.BlockSpec((geom.sl_rows, LANES),
-                         lambda g, ngroups=geom.ngroups: (g // ngroups, 0),
+                         lambda g, gnt=gnt: (g // gnt, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -189,7 +198,7 @@ def bloom_probe_prune(bitmap_words, s_part, row_d,
         compiler_params=None if interpret else pltpu.CompilerParams(
             has_side_effects=True,
             vmem_limit_bytes=bitmap_join.VMEM_LIMIT),
-    )(row_d, bitmap_words, s_part)
+    )(row_d, own_d, bitmap_words, s_part)
     return outs[0], outs[1][0, 0]
 
 
@@ -239,13 +248,12 @@ def plan_bloom_prune(r_key, s_key, args: BloomArgs,
     max_run = int((st[:, 1:] - st[:, :-1]).max()) if nchunks else 1
     geom = bitmap_join._probe_geom(part_bits, 0, sl_rows, 0, chunk_rows,
                                    nchunks, max_run)
-    if geom is None:
-        return None
 
     def prune_from(sk, chain):
         sp, stt = part(sk, chain)
-        rd = bitmap_join.derive_descs(stt.reshape(nchunks, -1, LANES), geom)
-        return bloom_probe_prune(bm, sp, rd, geom, args, hash_bits,
+        rd, od = bitmap_join.derive_descs(stt.reshape(nchunks, -1, LANES),
+                                          geom)
+        return bloom_probe_prune(bm, sp, rd, od, geom, args, hash_bits,
                                  interpret=interpret)
 
     prune_jit = jax.jit(prune_from)

@@ -134,24 +134,24 @@ def pass2_partition(s_part1, row_d, geom: Pass2Geom, interpret: bool = False):
 
 def derive_descs_contig(starts2, pgeom: bitmap_join.ProbeGeom,
                         geom: Pass2Geom):
-    """(F1*cat2_rows,128) pass-2 starts -> probe tile-window descriptors.
+    """(F1*cat2_rows,128) pass-2 starts -> probe tile descriptors.
 
-    Probe grid reuse: "chunk group" gi becomes tile index within the final
-    run; descriptor row = region base + clamp(start>>7) + gi*c_rows,
-    clamped inside the region (over-tiles read neighbor sub-runs or pads,
-    both masked out by the probe's bucket check).
+    One (row, ownership-start) pair per (final bucket, tile): row = region
+    base + clamp(start>>7) + tile*c_rows clamped inside the region; the
+    ownership mask dedupes tiles, the fine-bucket check masks neighbor
+    sub-runs and region padding.
     """
     F1, F2 = 1 << geom.b1, 1 << geom.b2
-    ntiles, c_rows = pgeom.ngroups, pgeom.c_rows
+    ntiles, c_rows = pgeom.ntiles, pgeom.c_rows
     st = starts2.reshape(F1, -1)[:, :F2]              # (F1, F2) flat starts
     base = jnp.arange(F1, dtype=jnp.int32)[:, None] * geom.cap_rows
-    r0 = base + jnp.minimum(st >> 7, geom.cap_rows - c_rows)
+    r0 = base + (st >> 7)
     tile = jnp.arange(ntiles, dtype=jnp.int32)
-    row = r0.reshape(F1 * F2, 1) + tile[None, :] * c_rows
+    own = r0.reshape(F1 * F2, 1) + tile[None, :] * c_rows
     hi_row = (base + geom.cap_rows - c_rows).repeat(F2, 0).reshape(-1, 1)
-    row = jnp.minimum(row, hi_row)
-    # (F, ntiles) -> (F*ntiles, 1, 1) with ch_per_step=1 per grid step
-    return row.reshape(F1 * F2 * ntiles, 1, 1)
+    row = jnp.minimum(own, hi_row)
+    shape = (F1 * F2 * ntiles, 1, 1)
+    return row.reshape(shape), own.reshape(shape)
 
 
 @dataclasses.dataclass
@@ -224,28 +224,27 @@ def plan_radix_join_2pass(r_key, s_key, lo: int, hi: int,
         s1, _descs1(st1, p2), p2, interpret=interpret))(sp1, starts1)
     st2 = np.asarray(starts2).reshape(F1, -1)[:, :F2 + 1].astype(np.int64)
     run2_max = int((st2[:, 1:] - st2[:, :-1]).max())
-    c_rows = min((int(-(-run2_max // LANES)) + 1 + 7) & ~7, cap_rows)
-    if c_rows > bitmap_join.SBUF_BUDGET_ROWS:
-        return None
-    ntiles = max(1, -(-((int(-(-run2_max // LANES)) + 1)) // c_rows))
+    run2_rows = int(-(-run2_max // LANES)) + 1
+    c_rows = min((run2_rows + 7) & ~7, cap_rows, bitmap_join.C_ROWS_CAP)
+    ntiles = max(1, -(-run2_rows // c_rows))
     pgeom = bitmap_join.ProbeGeom(
         part_bits=part_bits, shift=shift, sl_rows=sl_rows, lo=lo,
-        chunk_rows=cap_rows, nchunks=ntiles, c_rows=c_rows,
-        ch_per_step=1, ngroups=ntiles)
+        chunk_rows=cap_rows, nchunks=1, c_rows=c_rows,
+        ch_per_step=1, ngroups=1, ntiles=ntiles)
 
     def count_from(sk, chain):
         s1, st1 = part1(sk, chain)
         s2, st2d = pass2_partition(s1, _descs1(st1, p2), p2,
                                    interpret=interpret)
-        rd = derive_descs_contig(st2d, pgeom, p2)
-        return bitmap_join.bitmap_probe_count(bitmap, s2, rd, pgeom,
+        rd, od = derive_descs_contig(st2d, pgeom, p2)
+        return bitmap_join.bitmap_probe_count(bitmap, s2, rd, od, pgeom,
                                               interpret=interpret)
 
     count_jit = jax.jit(count_from)
     int(count_jit(sk_in, jnp.int32(0)))
     rd0 = jax.jit(lambda s: derive_descs_contig(s, pgeom, p2))(starts2)
     probe_jit = jax.jit(lambda sp, rd, chain: bitmap_join.bitmap_probe_count(
-        bitmap, sp + chain * 0, rd, pgeom, interpret=interpret))
+        bitmap, sp + chain * 0, rd[0], rd[1], pgeom, interpret=interpret))
     part_scalar = jax.jit(lambda sk, chain: pass2_partition(
         part1(sk, chain)[0], _descs1(part1(sk, chain)[1], p2), p2,
         interpret=interpret)[0].ravel()[-1].astype(jnp.int32))

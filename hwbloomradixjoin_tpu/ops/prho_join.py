@@ -81,16 +81,17 @@ def _probe_kernel_for(geom: bitmap_join.ProbeGeom):
     ch = geom.ch_per_step
     ngroups = geom.ngroups
     nchunks = geom.nchunks
+    nt = geom.ntiles
     lo = geom.lo
     shift = geom.shift
     local_mask = (sl_rows * LANES) - 1
 
-    def kern(row_d, cnt_ref, pay_ref, s_ref, sp_ref,
+    def kern(row_d, own_d, cnt_ref, pay_ref, s_ref, sp_ref,
              out_c, out_r, out_s, sbuf, pbuf, sem, accc, accr, accs):
         g = pl.program_id(0)
         ng = pl.num_programs(0)
-        b = g // ngroups
-        gi = g - b * ngroups
+        b = g // (ngroups * nt)
+        gi = (g // nt) - b * ngroups
 
         @pl.when(g == 0)
         def _():
@@ -122,13 +123,18 @@ def _probe_kernel_for(geom: bitmap_join.ProbeGeom):
         cnt_sl = cnt_ref[:]
         pay_sl = pay_ref[:]
         live_rows = nlive * c_rows
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
 
         def sub(u, _):
+            t = u // (c_rows // 8)
             r = pl.multiple_of(u * 8, 8)
             k = sbuf[pl.ds(r, 8), :]
             sp = pbuf[pl.ds(r, 8), :]
             norm = k - jnp.int32(lo)
-            ok = (norm >> shift) == b
+            abs_row = row_d[0, 0, t] + (r - t * c_rows) + row_iota
+            owned = (abs_row >= own_d[0, 0, t]) \
+                & (abs_row < own_d[0, 0, t] + c_rows)
+            ok = ((norm >> shift) == b) & owned
             local = norm & local_mask
             lane = local & (LANES - 1)
             rowj = local >> 7
@@ -160,18 +166,20 @@ def _probe_kernel_for(geom: bitmap_join.ProbeGeom):
     return kern
 
 
-def probe_count_sums(cnt_tbl, pay_tbl, s_part, sp_part, row_d,
+def probe_count_sums(cnt_tbl, pay_tbl, s_part, sp_part, row_d, own_d,
                      geom: bitmap_join.ProbeGeom, interpret: bool = False):
+    gnt = geom.ngroups * geom.ntiles
     blk_slice = pl.BlockSpec(
         (geom.sl_rows, LANES),
-        lambda g, ngroups=geom.ngroups: (g // ngroups, 0),
+        lambda g, gnt=gnt: (g // gnt, 0),
         memory_space=pltpu.VMEM)
+    smem_desc = pl.BlockSpec((1, 1, geom.ch_per_step), lambda g: (g, 0, 0),
+                             memory_space=pltpu.SMEM)
     outs = pl.pallas_call(
         _probe_kernel_for(geom),
         grid=(geom.grid,),
         in_specs=[
-            pl.BlockSpec((1, 1, geom.ch_per_step), lambda g: (g, 0, 0),
-                         memory_space=pltpu.SMEM),
+            smem_desc, smem_desc,
             blk_slice, blk_slice,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -192,7 +200,7 @@ def probe_count_sums(cnt_tbl, pay_tbl, s_part, sp_part, row_d,
         compiler_params=None if interpret else pltpu.CompilerParams(
             has_side_effects=True,
             vmem_limit_bytes=bitmap_join.VMEM_LIMIT),
-    )(row_d, cnt_tbl, pay_tbl, s_part, sp_part)
+    )(row_d, own_d, cnt_tbl, pay_tbl, s_part, sp_part)
     c, r, s = outs
     return c[0, 0], r[0, 0], s[0, 0]
 
@@ -251,8 +259,6 @@ def plan_prho_join(r_key, r_pay, s_key, s_pay, lo: int, hi: int,
     max_run = int((st[:, 1:] - st[:, :-1]).max()) if nchunks else 1
     geom = bitmap_join._probe_geom(part_bits, shift, slice_rows, lo,
                                    chunk_rows, nchunks, max_run)
-    if geom is None:
-        return None
     # two staging buffers halve the budget
     if geom.ch_per_step > 1:
         geom = dataclasses.replace(
@@ -261,8 +267,9 @@ def plan_prho_join(r_key, r_pay, s_key, s_pay, lo: int, hi: int,
 
     def count_from(sk, sp, chain):
         s2, p2, stt = part(sk, sp, chain)
-        rd = bitmap_join.derive_descs(stt.reshape(nchunks, -1, LANES), geom)
-        return probe_count_sums(cnt_tbl, pay_tbl, s2, p2, rd, geom,
+        rd, od = bitmap_join.derive_descs(stt.reshape(nchunks, -1, LANES),
+                                          geom)
+        return probe_count_sums(cnt_tbl, pay_tbl, s2, p2, rd, od, geom,
                                 interpret=interpret)
 
     count_jit = jax.jit(count_from)
@@ -270,7 +277,7 @@ def plan_prho_join(r_key, r_pay, s_key, s_pay, lo: int, hi: int,
     rd0 = jax.jit(lambda s: bitmap_join.derive_descs(
         s.reshape(nchunks, -1, LANES), geom))(starts)
     probe_jit = jax.jit(lambda chain: probe_count_sums(
-        cnt_tbl, pay_tbl, s_part, sp_part + chain * 0, rd0, geom,
+        cnt_tbl, pay_tbl, s_part, sp_part + chain * 0, rd0[0], rd0[1], geom,
         interpret=interpret)[0])
     part_scalar = jax.jit(lambda chain: part(
         sk_in, sp_in, chain)[0].ravel()[-1].astype(jnp.int32))

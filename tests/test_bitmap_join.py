@@ -176,3 +176,82 @@ def test_prho_pallas_tier_checksums_cross_engine():
         r2, st2, (sr2, ss2) = run_join(algo, R, S, EngineConfig())
         assert st2.tier == tier
         assert r2.count() == want and sr2 == sr and ss2 == ss
+
+
+def test_key8b_bloom_low_word_truncation():
+    """--key8b + bloom: the filter sees the LOW key word (the reference's
+    uint32 filter API truncates int64 keys)."""
+    import pytest as _pytest
+
+    from hwbloomradixjoin_tpu.config import BloomArgs, BloomVariant
+
+    rk, rp, sk, sp = _workload(n_r=3000, n_s=12000, hi_mult=2)
+    want, _, _ = native.ref_join(rk, rp, sk, sp)
+    R = Relation.from_numpy(rk, rp, key8b=True)
+    S = Relation.from_numpy(sk, sp, key8b=True)
+    args = BloomArgs(variant=BloomVariant.BLOCKED, m=1 << 16, k=2, B=512)
+    res, st, _ = run_join("PRO", R, S, EngineConfig(key8b=True), args)
+    assert st.tier == "key8b"
+    assert res.count() == want            # no false negatives ever
+    assert res.s_after_filter is not None
+    assert want <= res.s_after_filter <= len(sk)
+
+
+def test_key8b_materialize_clear_error():
+    import pytest as _pytest
+
+    rk, rp, sk, sp = _workload(n_r=500, n_s=1000)
+    R = Relation.from_numpy(rk, rp, key8b=True)
+    S = Relation.from_numpy(sk, sp, key8b=True)
+    with _pytest.raises(NotImplementedError, match="key8b"):
+        run_join("PRO", R, S, EngineConfig(key8b=True, materialize=True))
+
+
+def test_dense_tier_wide_span_no_crash():
+    """Dense fast path must not depend on the count-table range cap."""
+    import jax
+
+    n = 5000
+    lo = 1
+    hi = lo + (1 << 29)    # span beyond HT_MAX_SLOTS
+    rk = np.arange(lo, lo + n, dtype=np.int32)
+    rng = np.random.default_rng(2)
+    rk = rng.permutation(rk)
+    sk = rng.integers(lo, lo + 2 * n, 20000).astype(np.int32)
+    stats = KeyStats(min_key=lo, max_key=lo + n - 1, is_dense_pk=True,
+                     is_unique=True)
+    # simulate the crash path: key_range=None (span cap) + dense selected
+    from hwbloomradixjoin_tpu.models import registry
+    R = Relation.from_numpy(rk, np.arange(n, dtype=np.int32), stats=stats)
+    assert registry._key_range(R) is not None  # real range is small; force:
+    wide = KeyStats(min_key=lo, max_key=hi, is_dense_pk=True,
+                    is_unique=True)
+    Rw = Relation.from_numpy(rk, np.arange(n, dtype=np.int32), stats=wide)
+    assert registry._key_range(Rw) is None
+    S = Relation.from_numpy(sk, np.arange(20000, dtype=np.int32))
+    if jax.default_backend() == "tpu":
+        res, st, _ = run_join("PRO", Rw, S, EngineConfig())
+        assert st.tier == "dense"
+
+
+def test_skewed_run_multi_tile_probe(monkeypatch):
+    """Heavy key skew: runs larger than the window cap are served by
+    multiple ownership-masked tiles — exact counts, no fallback (the
+    single-chip SKEW_HANDLING analogue)."""
+    import jax.numpy as jnp
+    from hwbloomradixjoin_tpu.ops import bitmap_join
+
+    monkeypatch.setattr(bitmap_join, "C_ROWS_CAP", 64)
+    rng = np.random.default_rng(13)
+    n_r = 5000
+    rk = rng.permutation(np.arange(1, n_r + 1)).astype(np.int32)
+    sk = np.concatenate([
+        np.full(60000, 7, np.int32),            # one heavy key
+        rng.integers(1, 2 * n_r, 40000).astype(np.int32)])
+    rng.shuffle(sk)
+    plan = bitmap_join.plan_radix_join(jnp.asarray(rk), jnp.asarray(sk),
+                                       1, n_r, interpret=True)
+    assert plan is not None
+    assert plan.geom.ntiles > 1
+    want = int(np.isin(sk, rk).sum())
+    assert plan.count() == want
