@@ -16,13 +16,15 @@ radix partitioning reserved for (a) the distributed shuffle (parallel/) and
 (b) VMEM-resident builds (ops/radix.py Pallas tier).  Each named algorithm
 maps to a genuinely distinct execution strategy:
 
-  PRO   bucket-chain join      -> Pallas MSB-radix partition + VMEM
-                                  bitmap probe (ops/bitmap_join.py) for
-                                  unique build keys; count-table otherwise
+  PRO   bucket-chain join      -> Pallas MSB-radix partition (1 or 2
+                                  passes) + VMEM bitmap probe
+                                  (ops/bitmap_join.py, ops/multipass.py)
+                                  for unique build keys
   PRH   histogram re-order     -> global radix clustering via sort +
                                   segmented merge scan (two timed phases)
-  PRHO  histogram + SIMD probe -> count-table with fully vectorized gather
-                                  probe (the SIMD probe's TPU form)
+  PRHO  histogram + SIMD probe -> Pallas partition (keys+payloads) + VMEM
+                                  count/paysum-slice gather probe with
+                                  checksums (ops/prho_join.py)
   RJ    single-pass radix      -> same Pallas engine as PRO (one partition
                                   pass + probe), single-device in dist mode
   NPO   shared hash table      -> count-table join
@@ -318,11 +320,14 @@ def _run_pallas_radix(spec: AlgoSpec, R: Relation, S: Relation,
     # descriptor derivation -> probe); the prune phase ran once at plan
     # time, so its measured cost is added back to every repeat (the
     # reference evaluates the filter inside each timed pass-1)
+    floor = bitmap_join.dispatch_floor_usec()
     total_usec = None
     for i in range(max(1, inner_repeats)):
         t0 = time.perf_counter()
         cnt = plan.count(chain=i)
-        dt = (time.perf_counter() - t0) * 1e6 + prune_usec
+        # the axon tunnel's ~25 ms dispatch round trip is transport, not
+        # engine time; subtract the measured floor (clamped)
+        dt = max((time.perf_counter() - t0) * 1e6 - floor, 1.0) + prune_usec
         total_usec = dt if total_usec is None else min(total_usec, dt)
 
     stats = JoinStats(
@@ -375,11 +380,12 @@ def _run_pallas_prho(spec: AlgoSpec, R: Relation, S: Relation,
 
     part_usec = plan.time_partition() + prune_usec
     probe_usec = plan.time_probe()
+    floor = bitmap_join.dispatch_floor_usec()
     total_usec = None
     for i in range(max(1, inner_repeats)):
         t0 = time.perf_counter()
         cnt, sr, ss = plan.count3(chain=i)
-        dt = (time.perf_counter() - t0) * 1e6 + prune_usec
+        dt = max((time.perf_counter() - t0) * 1e6 - floor, 1.0) + prune_usec
         total_usec = dt if total_usec is None else min(total_usec, dt)
 
     stats = JoinStats(

@@ -81,8 +81,12 @@ def print_timing(stats: JoinStats) -> str:
     lines.append("TOTAL-TIME-USECS, TOTAL-TUPLES, NSEC-PER-TUPLE: ")
     lines.append(f"{stats.total_usec:.4f} \t {stats.result} \t {stats.nsec_per_tuple:.4f} ")
     lines.append("PARTITION-TIME-USECS, PROBE-TIME-USECS, JOIN-TIME-USECS: ")
+    # phase times come from extra synced dispatches and carry their own
+    # measurement noise; the derived join time is clamped non-negative so
+    # the block always parses (reference format has no sign)
+    join_usec = max(stats.total_usec - stats.part_usec, 0.0)
     lines.append(f"{stats.part_usec:.4f} \t {stats.probe_usec:.4f}\t "
-                 f"{stats.total_usec - stats.part_usec:.4f} ")
+                 f"{join_usec:.4f} ")
     out = "\n".join(lines)
     print(out)
     return out
