@@ -42,7 +42,7 @@ def main():
     r_size = int(os.environ.get("BENCH_R", 16_000_000))
     s_size = int(os.environ.get("BENCH_S", 128_000_000))
     algo = os.environ.get("BENCH_ALGO", "PRO")
-    repeats = int(os.environ.get("BENCH_REPEATS", 3))
+    repeats = int(os.environ.get("BENCH_REPEATS", 2))
     allow_dense = os.environ.get("BENCH_DENSE", "0") == "1"
     include_build = os.environ.get("BENCH_INCLUDE_BUILD", "0") == "1"
 

@@ -125,6 +125,7 @@ def sweep_bloom(backend="auto", r_size=1_000_000, s_size=8_000_000):
                          bloom_size=1 << 26, bloom_hashes=k,
                          backend=backend)
         rows.append(run_one(cfg))
+        save_data(rows, "bloom_filter_type")
     return save_data(rows, "bloom_filter_type")
 
 
@@ -156,6 +157,7 @@ def sweep_radix_bits(backend="auto", r_size=1_000_000, s_size=8_000_000):
         row = run_one(cfg)
         row["radix-bits"] = -1 if bits is None else bits
         rows.append(row)
+        save_data(rows, "radix_bits")   # incremental: partial data survives
     return save_data(rows, "radix_bits")
 
 
@@ -223,6 +225,7 @@ def sweep_passes(backend="auto", r_size=1_000_000, s_size=8_000_000):
         row = run_one(cfg)
         row["passes"] = passes
         rows.append(row)
+        save_data(rows, "passes")
     return save_data(rows, "passes")
 
 
