@@ -326,8 +326,10 @@ def _run_pallas_radix(spec: AlgoSpec, R: Relation, S: Relation,
         t0 = time.perf_counter()
         cnt = plan.count(chain=i)
         # the axon tunnel's ~25 ms dispatch round trip is transport, not
-        # engine time; subtract the measured floor (clamped)
-        dt = max((time.perf_counter() - t0) * 1e6 - floor, 1.0) + prune_usec
+        # engine time; subtract the measured floor, clamped to 80% of the
+        # raw time (the floor estimate itself is congestion-noisy)
+        raw = (time.perf_counter() - t0) * 1e6
+        dt = max(raw - floor, 0.2 * raw) + prune_usec
         total_usec = dt if total_usec is None else min(total_usec, dt)
 
     stats = JoinStats(
@@ -385,7 +387,8 @@ def _run_pallas_prho(spec: AlgoSpec, R: Relation, S: Relation,
     for i in range(max(1, inner_repeats)):
         t0 = time.perf_counter()
         cnt, sr, ss = plan.count3(chain=i)
-        dt = max((time.perf_counter() - t0) * 1e6 - floor, 1.0) + prune_usec
+        raw = (time.perf_counter() - t0) * 1e6
+        dt = max(raw - floor, 0.2 * raw) + prune_usec
         total_usec = dt if total_usec is None else min(total_usec, dt)
 
     stats = JoinStats(

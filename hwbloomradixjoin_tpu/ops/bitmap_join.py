@@ -315,7 +315,9 @@ class RadixJoinPlan:
         int(fn(jnp.int32(1)))            # warm: compile + first-run costs
         t0 = time.perf_counter()
         int(fn(jnp.int32(2)))
-        return max((time.perf_counter() - t0) * 1e6 - floor, 0.0)
+        raw = (time.perf_counter() - t0) * 1e6
+        # clamp the subtraction: the floor estimate is congestion-noisy
+        return max(raw - floor, 0.2 * raw)
 
     def time_partition(self) -> float:
         return self._time(self.part_fn)
