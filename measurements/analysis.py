@@ -97,9 +97,45 @@ def analyze(path: str):
     return df
 
 
+def cross_run_table():
+    """Thesis cross-run summary (reference analysis.py cross_run:961-1005):
+    one row per committed sweep — best config, throughput, prune rate."""
+    import pandas as pd
+
+    rows = []
+    for name in sorted(os.listdir(DATA_DIR)):
+        if not name.endswith(".pkl"):
+            continue
+        df = pd.read_pickle(os.path.join(DATA_DIR, name))
+        if "nsec-per-tuple" not in df:
+            continue
+        best = df.loc[df["nsec-per-tuple"].idxmin()]
+        rows.append({
+            "sweep": name[:-4],
+            "configs": len(df),
+            "best ns/tuple": round(float(best["nsec-per-tuple"]), 3),
+            "best config": " ".join(
+                f"{k}={best[k]}" for k in ("algorithm", "bloom_filter",
+                                           "bloom_hashes", "radix_bits",
+                                           "devices", "passes")
+                if k in best and best[k] not in (None, "no", 0, 1)),
+            "results": int(best["results"]) if best["results"] else None,
+        })
+    out = pd.DataFrame(rows)
+    path = os.path.join(DATA_DIR, "cross_run.md")
+    with open(path, "w") as f:
+        f.write(out.to_markdown(index=False))
+    print(out.to_markdown(index=False))
+    print(f"wrote {path}")
+    return out
+
+
 if __name__ == "__main__":
-    paths = sys.argv[1:] or [os.path.join(DATA_DIR, p)
-                             for p in os.listdir(DATA_DIR)
-                             if p.endswith(".pkl")]
-    for p in paths:
-        analyze(p)
+    if len(sys.argv) > 1 and sys.argv[1] == "cross":
+        cross_run_table()
+    else:
+        paths = sys.argv[1:] or [os.path.join(DATA_DIR, p)
+                                 for p in os.listdir(DATA_DIR)
+                                 if p.endswith(".pkl")]
+        for p in paths:
+            analyze(p)

@@ -229,10 +229,29 @@ def sweep_passes(backend="auto", r_size=1_000_000, s_size=8_000_000):
     return save_data(rows, "passes")
 
 
+def sweep_algos(backend="auto", r_size=1_000_000, s_size=8_000_000):
+    """Figure-11 analogue: PRO vs PRH vs PRHO (vs NPO), one workload.
+
+    The reference's three-way build/probe-kernel comparison
+    (base_results/figure11: 9.85 / 12.73 / 11.35 ns/tuple); here each name
+    runs a genuinely distinct engine (pallas_radix / sortscan /
+    pallas_prho / ht).
+    """
+    rows = []
+    for algo in ("PRO", "PRH", "PRHO", "NPO"):
+        cfg = JoinConfig(algorithm=algo, r_size=r_size, s_size=s_size,
+                         no_dense=True, backend=backend, repeats=3)
+        row = run_one(cfg, timeout=2400)
+        rows.append(row)
+        save_data(rows, "algos")
+    return save_data(rows, "algos")
+
+
 SWEEPS = {"quick": sweep_quick, "bloom": sweep_bloom, "params": sweep_params,
           "radix_bits": sweep_radix_bits,
           "never_single_pass": sweep_never_single_pass,
-          "scaling": sweep_scaling, "passes": sweep_passes}
+          "scaling": sweep_scaling, "passes": sweep_passes,
+          "algos": sweep_algos}
 
 
 if __name__ == "__main__":
