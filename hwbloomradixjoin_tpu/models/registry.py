@@ -47,6 +47,7 @@ import jax.numpy as jnp
 
 from hwbloomradixjoin_tpu.config import BloomArgs, EngineConfig
 from hwbloomradixjoin_tpu.models import bloom_join
+from hwbloomradixjoin_tpu.ops import bitmap_join as _bj
 from hwbloomradixjoin_tpu.ops import ht_join, xla_join
 from hwbloomradixjoin_tpu.types import JoinResult, Relation
 from hwbloomradixjoin_tpu.utils.timing import JoinStats
@@ -320,7 +321,7 @@ def _run_pallas_radix(spec: AlgoSpec, R: Relation, S: Relation,
     # descriptor derivation -> probe); the prune phase ran once at plan
     # time, so its measured cost is added back to every repeat (the
     # reference evaluates the filter inside each timed pass-1)
-    floor = bitmap_join.dispatch_floor_usec()
+    floor = _bj.dispatch_floor_usec()
     total_usec = None
     for i in range(max(1, inner_repeats)):
         t0 = time.perf_counter()
@@ -382,7 +383,7 @@ def _run_pallas_prho(spec: AlgoSpec, R: Relation, S: Relation,
 
     part_usec = plan.time_partition() + prune_usec
     probe_usec = plan.time_probe()
-    floor = bitmap_join.dispatch_floor_usec()
+    floor = _bj.dispatch_floor_usec()
     total_usec = None
     for i in range(max(1, inner_repeats)):
         t0 = time.perf_counter()

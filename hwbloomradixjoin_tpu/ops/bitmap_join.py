@@ -78,22 +78,29 @@ def plan_geometry(lo: int, hi: int, num_radix_bits: Optional[int] = None):
     part_bits = lo_bits if num_radix_bits is None else (
         min(max(num_radix_bits, lo_bits), hi_bits))
     shift = range_bits - part_bits            # in [12, 17]
-    sl_rows = 1 << (shift - 12)               # 1..32 vreg rows per slice
+    # slice stride >= 8 rows: Mosaic requires block sublanes divisible by 8
+    # (slices smaller than 2^15 bits get zero-padded rows)
+    sl_rows = max(1 << (shift - 12), 8)
     return part_bits, shift, sl_rows
 
 
-def build_bitmap(r_key, lo: int, hi: int, part_bits: int, sl_rows: int):
+def build_bitmap(r_key, lo: int, hi: int, part_bits: int, shift: int,
+                 sl_rows: int):
     """Exact membership bitmap over [lo, hi], laid out (F * sl_rows, 128).
 
-    Unique R keys => distinct (word, bit) pairs => scatter-ADD equals the
-    reference's atomic fetch-OR (bloom_filter.c:84) with zero FPR.  This is
-    the R-side build phase; it runs once per plan (XLA scatter, measured
-    ~12 ns/key — plan-time only, never in the steady-state loop).
+    Bucket b's slice occupies rows [b*sl_rows, (b+1)*sl_rows); sl_rows may
+    exceed the 2^shift bits a bucket covers (Mosaic 8-row alignment), in
+    which case the slice tail rows stay zero.  Unique R keys => distinct
+    (word, bit) pairs => scatter-ADD equals the reference's atomic
+    fetch-OR (bloom_filter.c:84) with zero FPR.  R-side build phase; runs
+    once per plan (XLA scatter — plan-time only).
     """
     nwords = (1 << part_bits) * sl_rows * LANES
     norm = r_key.astype(jnp.int32) - jnp.int32(lo)
     ok = (r_key >= lo) & (r_key <= hi)
-    w = jnp.where(ok, norm >> 5, nwords)
+    bucket = norm >> shift
+    local = norm & ((1 << shift) - 1)
+    w = jnp.where(ok, bucket * (sl_rows * LANES) + (local >> 5), nwords)
     bit = (norm & 31).astype(jnp.uint32)
     bm = jnp.zeros(nwords, jnp.uint32).at[w].add(
         (jnp.uint32(1) << bit), mode="drop")
@@ -213,7 +220,7 @@ def _probe_kernel_for(geom: ProbeGeom):
             owned = (abs_row >= own_d[0, 0, t]) \
                 & (abs_row < own_d[0, 0, t] + c_rows)
             ok = ((norm >> shift) == b) & owned
-            w = (norm >> 5) & (sl_rows * LANES - 1)
+            w = (norm & ((1 << shift) - 1)) >> 5     # slice-local word
             lane = w & (LANES - 1)
             rowj = w >> 7
             if sl_rows == 1:
@@ -369,7 +376,8 @@ def plan_radix_join(r_key, s_key, lo: int, hi: int,
 
     t0 = time.perf_counter()
     bitmap = jax.jit(functools.partial(
-        build_bitmap, lo=lo, hi=hi, part_bits=part_bits, sl_rows=sl_rows)
+        build_bitmap, lo=lo, hi=hi, part_bits=part_bits, shift=shift,
+        sl_rows=sl_rows)
     )(r_key)
     bitmap = jax.block_until_ready(bitmap)
     build_usec = (time.perf_counter() - t0) * 1e6

@@ -227,6 +227,8 @@ def plan_bloom_prune(r_key, s_key, args: BloomArgs,
     # slice rows: blocks_per_slice * words_per_block / 128 (<= 32 by the
     # SLICE_BITS cap; can be smaller when the whole filter fits one slice)
     sl_rows = max((1 << (hash_bits - part_bits)) * (args.B // 32) // LANES, 1)
+    if sl_rows % 8 and not interpret:
+        return None     # Mosaic needs 8-row blocks; tiny m -> XLA filter
 
     t0 = time.perf_counter()
     bm = jax.jit(lambda rk: bloom_ops.build_bitmap_xla(rk, args)

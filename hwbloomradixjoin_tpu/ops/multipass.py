@@ -195,7 +195,7 @@ def plan_radix_join_2pass(r_key, s_key, lo: int, hi: int,
 
     t0 = time.perf_counter()
     bitmap = jax.jit(lambda rk: bitmap_join.build_bitmap(
-        rk, lo, hi, part_bits, sl_rows))(r_key)
+        rk, lo, hi, part_bits, shift, sl_rows))(r_key)
     bitmap = jax.block_until_ready(bitmap)
     build_usec = (time.perf_counter() - t0) * 1e6
 

@@ -53,21 +53,24 @@ def plan_geometry_counts(lo: int, hi: int,
     part_bits = lo_bits if num_radix_bits is None else (
         min(max(num_radix_bits, lo_bits), hi_bits))
     shift = range_bits - part_bits            # in [7, 14]
-    slice_rows = 1 << (shift - 7)             # 1..128 rows per slice
+    slice_rows = max(1 << (shift - 7), 8)     # 8-row Mosaic alignment
     return part_bits, shift, slice_rows
 
 
 def build_tables(r_key, r_pay, lo: int, hi: int, part_bits: int,
-                 shift: int):
+                 shift: int, slice_rows: int):
     """Per-key count + payload-sum tables, laid out (F*slice_rows, 128).
 
-    The reference's histogram re-order build (histogram_optimized_join's
-    per-partition prefix-summed layout); XLA scatter-add, plan-time only.
+    Bucket-strided like build_bitmap (slice tails stay zero when the
+    stride exceeds 2^shift slots).  The reference's histogram re-order
+    build (histogram_optimized_join); XLA scatter-add, plan-time only.
     """
-    nslots = (1 << part_bits) << shift
+    nslots = (1 << part_bits) * slice_rows * LANES
     norm = r_key.astype(jnp.int32) - jnp.int32(lo)
     ok = (r_key >= lo) & (r_key <= hi)
-    idx = jnp.where(ok, norm, nslots)
+    bucket = norm >> shift
+    local = norm & ((1 << shift) - 1)
+    idx = jnp.where(ok, bucket * (slice_rows * LANES) + local, nslots)
     cnt = jnp.zeros(nslots, jnp.int32).at[idx].add(1, mode="drop")
     pay = jnp.zeros(nslots, jnp.uint32).at[idx].add(
         r_pay.astype(jnp.uint32), mode="drop").astype(jnp.int32)
@@ -84,7 +87,7 @@ def _probe_kernel_for(geom: bitmap_join.ProbeGeom):
     nt = geom.ntiles
     lo = geom.lo
     shift = geom.shift
-    local_mask = (sl_rows * LANES) - 1
+    local_mask = (1 << shift) - 1
 
     def kern(row_d, own_d, cnt_ref, pay_ref, s_ref, sp_ref,
              out_c, out_r, out_s, sbuf, pbuf, sem, accc, accr, accs):
@@ -243,7 +246,7 @@ def plan_prho_join(r_key, r_pay, s_key, s_pay, lo: int, hi: int,
 
     t0 = time.perf_counter()
     cnt_tbl, pay_tbl = jax.jit(lambda rk, rp: build_tables(
-        rk, rp, lo, hi, part_bits, shift))(r_key, r_pay)
+        rk, rp, lo, hi, part_bits, shift, slice_rows))(r_key, r_pay)
     cnt_tbl = jax.block_until_ready(cnt_tbl)
     build_usec = (time.perf_counter() - t0) * 1e6
 
