@@ -2,11 +2,13 @@
 
 Headline metric (BASELINE.json): join throughput in S-rows/s/chip on the
 radix-join workload, measured end-to-end on device: every repeat runs the
-full S-side pipeline (Pallas radix partition -> descriptor derivation ->
-VMEM bitmap probe) as one device program.  The R-side build (exact bitmap,
-the engine's hash-table equivalent) runs once per plan and is reported as
-the build phase — the served-build-side pattern; BENCH_INCLUDE_BUILD=1
-folds it into the reported time instead.
+WHOLE join as one device program — R-side build (Pallas partition + MXU
+bit deposit), S-side Pallas radix partition, descriptor derivation, VMEM
+bitmap probe.  The reported total therefore has the same semantics as the
+reference's TOTAL-TIME-USECS (build + both partitions + join,
+parallel_radix_join_bloom.c:1509-1547); nothing is excluded.  The raw
+wall time and the subtracted transport floor are reported alongside so
+the adjustment is auditable (ADVICE r3).
 
 The dense-PK planner fast path is DISABLED by default (BENCH_DENSE=1 to
 re-enable): the headline number is produced by the general radix machinery
@@ -44,7 +46,6 @@ def main():
     algo = os.environ.get("BENCH_ALGO", "PRO")
     repeats = int(os.environ.get("BENCH_REPEATS", 2))
     allow_dense = os.environ.get("BENCH_DENSE", "0") == "1"
-    include_build = os.environ.get("BENCH_INCLUDE_BUILD", "0") == "1"
 
     import jax
     import jax.numpy as jnp
@@ -81,10 +82,17 @@ def main():
     best = None
     for i in range(repeats):
         result, stats, _ = run_join(algo, R, S, cfg, None, inner_repeats=inner)
+        # the key-projection placeholder payload is only valid on the
+        # Pallas tiers (count-only, payload never read); a fallback tier
+        # would consume it positionally -> fail loudly instead
+        assert stats.tier.startswith(("pallas", "dense")), (
+            f"bench workload fell off the Pallas tier to {stats.tier}")
         log(f"run {i}: tier={stats.tier} {stats.total_usec/1e6:.3f}s "
             f"({stats.total_usec*1e3/s_size:.3f} ns/tuple) "
-            f"part={stats.part_usec/1e3:.1f}ms "
+            f"[raw={stats.raw_total_usec/1e6:.3f}s "
+            f"floor={stats.floor_usec/1e3:.1f}ms] "
             f"build={stats.build_usec/1e3:.1f}ms "
+            f"part={stats.part_usec/1e3:.1f}ms "
             f"probe={stats.probe_usec/1e3:.1f}ms "
             f"results={result.count()}")
         if best is None or stats.total_usec < best.total_usec:
@@ -99,10 +107,11 @@ def main():
     costs = roofline.join_costs(r_size, s_size, passes=1, part_bits=pb,
                                 sl_rows=slr)
     measured = {"partition_S": best.part_usec / 1e6,
+                "build": best.build_usec / 1e6,
                 "probe": best.probe_usec / 1e6}
     log(roofline.report(measured, costs, chip))
 
-    total_usec = best.total_usec + (best.build_usec if include_build else 0)
+    total_usec = best.total_usec          # build included (fused program)
     if result.count() != expect:
         log(f"VALIDATION FAILED: {result.count()} != {expect}")
         value = 0.0
@@ -111,7 +120,7 @@ def main():
 
     print(json.dumps({
         "metric": f"{algo} join throughput ({r_size//10**6}M⋈{s_size//10**6}M,"
-                  f" 1 chip, tier={best.tier})",
+                  f" 1 chip, tier={best.tier}, build incl)",
         "value": round(value, 0),
         "unit": "rows/s",
         "vs_baseline": round(value / BASELINE_ROWS_PER_S, 4),

@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--engine-passes", type=int, default=1, choices=[1, 2],
                    help="radix partition passes (reference NUM_PASSES)")
     p.add_argument("--engine-no-pallas", action="store_true")
+    p.add_argument("--engine-inner", type=int, default=1,
+                   help="serialized repeats chained inside one device "
+                        "program (floor-free steady-state timing; Pallas "
+                        "tiers only)")
     p.add_argument("--engine-repeats", type=int, default=1,
                    help="re-run the timed join N times, report the best")
     p.add_argument("--key8b", action="store_true",
@@ -197,8 +201,9 @@ def main(argv=None) -> int:
                              enabled=args.engine_trace is not None):
             for _ in range(max(1, args.engine_repeats)):
                 with profiling.annotate(f"join:{args.algo}"):
-                    result, stats, _ = run_join(args.algo, R, S, cfg,
-                                                bloom_args)
+                    result, stats, _ = run_join(
+                        args.algo, R, S, cfg, bloom_args,
+                        inner_repeats=max(1, args.engine_inner))
                 if best is None or stats.total_usec < best[1].total_usec:
                     best = (result, stats)
         result, stats = best

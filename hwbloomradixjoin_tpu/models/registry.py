@@ -19,16 +19,25 @@ maps to a genuinely distinct execution strategy:
   PRO   bucket-chain join      -> Pallas MSB-radix partition (1 or 2
                                   passes) + VMEM bitmap probe
                                   (ops/bitmap_join.py, ops/multipass.py)
-                                  for unique build keys
-  PRH   histogram re-order     -> global radix clustering via sort +
-                                  segmented merge scan (two timed phases)
+                                  for unique build keys; R built by the
+                                  Pallas partition + MXU deposit kernel
+  PRH   histogram re-order     -> Pallas count-table engine, keys-only
+                                  probe side (plan_prh_join) — the
+                                  reference's scalar vs SIMD probe split
+                                  collapses on the VPU (SURVEY §7 step 5),
+                                  so PRH/PRHO share the table engine and
+                                  differ in what rides the partition
   PRHO  histogram + SIMD probe -> Pallas partition (keys+payloads) + VMEM
                                   count/paysum-slice gather probe with
-                                  checksums (ops/prho_join.py)
+                                  both checksums (ops/prho_join.py)
   RJ    single-pass radix      -> same Pallas engine as PRO (one partition
                                   pass + probe), single-device in dist mode
-  NPO   shared hash table      -> count-table join
+  NPO   shared hash table      -> count-table engine, NPO phase contract
+                                  (no partition phase; clustering counts
+                                  as probe work); non-unique R supported
   NPO_st single-threaded NPO   -> same, flagged single-device in dist mode
+  (XLA fallback tiers — sortscan / ht / key8b / materialize — serve
+  shapes outside the Pallas geometry gates.)
 
 Per-phase timing is real: each phase is a separate device dispatch,
 synchronized and wall-clocked (the steady-state throughput loop then runs
@@ -102,7 +111,7 @@ def select_tier(spec: AlgoSpec, R: Relation, cfg: EngineConfig,
                 key_range) -> str:
     """Pick the execution tier for this (algorithm, workload, config)."""
     if R.key_hi is not None:
-        return "key8b"
+        return "materialize8b" if cfg.materialize else "key8b"
     dense_ok = (R.stats is not None and R.stats.is_dense_pk
                 and not cfg.materialize and cfg.allow_dense
                 and spec.family == "radix"
@@ -121,13 +130,29 @@ def select_tier(spec: AlgoSpec, R: Relation, cfg: EngineConfig,
             and key_range is not None \
             and key_range[1] - key_range[0] < (1 << 26):
         return "pallas_prho"       # partitioned count-table probe; works
+    if spec.name == "PRH" and cfg.radix.use_pallas \
+            and (jax.default_backend() == "tpu" or cfg.interpret) \
+            and key_range is not None \
+            and key_range[1] - key_range[0] < (1 << 26):
+        return "pallas_prh"        # keys-only count-table probe
+    if spec.family == "npo" and cfg.radix.use_pallas \
+            and (jax.default_backend() == "tpu" or cfg.interpret) \
+            and key_range is not None \
+            and key_range[1] - key_range[0] < (1 << 26):
+        # NPO's shared-hash-table contract (non-unique R, no partition
+        # phase) served by the count-table engine; on TPU random probes
+        # require clustering, which NPO performs INSIDE its probe phase
+        # (reported as probe time — the reference's NPO reports zero
+        # partition time, no_partitioning_join.c:497-595)
+        return "pallas_npo"
     if spec.name == "PRH" or key_range is None:
         return "sortscan"
     return "ht"
 
 
 def _phase_fns(spec: AlgoSpec, cfg: EngineConfig,
-               bloom_args: Optional[BloomArgs], tier: str, key_range):
+               bloom_args: Optional[BloomArgs], tier: str, key_range,
+               wide_pays=None):
     """Build (phases, fused) where phases = [(phase_name, fn), ...].
 
     Each phase fn is jittable; fn_i consumes the previous phase's outputs.
@@ -149,14 +174,34 @@ def _phase_fns(spec: AlgoSpec, cfg: EngineConfig,
         # keys, so int64 keys are truncated to their low word on add/check
         # (hash.h:10 vs types.h:22-28) — pruning on the lo column reproduces
         # that exactly, including truncation-collision false positives.
+        rph, sph = wide_pays if wide_pays is not None else (None, None)
+
         def fused(rk, rkh, rp, sk, skh, sp, chain):
             sk2, s_after = prune(rk, sk)
             # pruned rows become the reserved (PAD, PAD) key pair, which no
             # relation may contain (the engine-wide PAD_KEY reservation)
             skh2 = jnp.where(sk2 == PAD, PAD, skh)
-            c, sr, ss = xla_join.sort_scan_count_wide(rkh, rk, rp, skh2,
-                                                      sk2, sp)
-            return c + chain * 0, sr, ss, s_after
+            if rph is None:
+                c, sr, ss = xla_join.sort_scan_count_wide(rkh, rk, rp, skh2,
+                                                          sk2, sp)
+                return c + chain * 0, sr, ss, s_after
+            # 64-bit payloads (reference value_t under KEY_8B,
+            # src/types.h:22-28): checksums accumulate mod 2^64
+            c, sr64, ss64 = xla_join.sort_scan_count_wide64(
+                rkh, rk, rph, rp, skh2, sk2, sph, sp)
+            return (c + chain * 0, sr64[0], sr64[1], ss64[0], ss64[1],
+                    s_after)
+        return [], fused
+
+    if tier == "materialize8b":
+        rph, sph = wide_pays
+
+        def fused(rk, rkh, rp, sk, skh, sp, chain):
+            sk2, s_after = prune(rk, sk)
+            skh2 = jnp.where(sk2 == PAD, PAD, skh)
+            cnt, rp2, sp2, k2 = xla_join.sort_scan_materialize_wide(
+                rkh, rk, rph, rp, skh2, sk2, sph, sp)
+            return cnt + chain * 0, rp2, sp2, k2, s_after
         return [], fused
 
     if tier == "dense":
@@ -317,28 +362,46 @@ def _run_pallas_radix(spec: AlgoSpec, R: Relation, S: Relation,
     # real per-phase device timing (separate synced dispatches, once)
     part_usec = plan.time_partition() + prune_usec
     probe_usec = plan.time_probe()
-    # steady state: one fused device program per repeat (partition ->
-    # descriptor derivation -> probe); the prune phase ran once at plan
-    # time, so its measured cost is added back to every repeat (the
-    # reference evaluates the filter inside each timed pass-1)
+    build_usec = plan.time_build()
+    # steady state: one fused device program per repeat covering the
+    # WHOLE join — R build + S partition + probe (full_fn) — so the
+    # reported total has the reference's TOTAL-TIME-USECS semantics
+    # (build + both partitions + join, parallel_radix_join_bloom.c:
+    # 1509-1547).  The prune phase ran once at plan time, so its
+    # measured cost is added back to every repeat (the reference
+    # evaluates the filter inside each timed pass-1).
     floor = _bj.dispatch_floor_usec()
-    total_usec = None
-    for i in range(max(1, inner_repeats)):
+    reps = max(1, inner_repeats)
+    if reps >= 3 and plan.chain_fn is not None and not interpret:
+        # sweep-scale protocol: reps serialized joins inside ONE device
+        # program — one dispatch floor amortized over all repeats, so no
+        # load-bearing subtraction remains (ADVICE r3 / VERDICT weak 2)
+        plan.chained_count(1)               # compile + warm
         t0 = time.perf_counter()
-        cnt = plan.count(chain=i)
-        # the axon tunnel's ~25 ms dispatch round trip is transport, not
-        # engine time; subtract the measured floor, clamped to 80% of the
-        # raw time (the floor estimate itself is congestion-noisy)
+        cnt = plan.chained_count(reps)
         raw = (time.perf_counter() - t0) * 1e6
-        dt = max(raw - floor, 0.2 * raw) + prune_usec
-        total_usec = dt if total_usec is None else min(total_usec, dt)
+        total_usec = max(raw - floor, 0.5 * raw) / reps + prune_usec
+        best_raw = raw / reps + prune_usec
+    else:
+        total_usec = best_raw = None
+        for i in range(reps):
+            t0 = time.perf_counter()
+            cnt = plan.full_count(chain=i)
+            # the axon tunnel's ~25 ms dispatch round trip is transport,
+            # not engine time; subtract the measured floor, clamped to 80%
+            # of the raw time (both reported: raw_total_usec / floor_usec)
+            raw = (time.perf_counter() - t0) * 1e6
+            dt = max(raw - floor, 0.2 * raw) + prune_usec
+            if total_usec is None or dt < total_usec:
+                total_usec, best_raw = dt, raw + prune_usec
 
     stats = JoinStats(
         total_usec=total_usec, part_usec=part_usec, probe_usec=probe_usec,
-        build_usec=plan.build_usec,
+        build_usec=build_usec,
         result=cnt, num_s_tuples=S.capacity,
         s_after_filter=None if s_after < 0 else s_after,
-        compile_usec=compile_usec, tier="pallas_radix")
+        compile_usec=compile_usec, tier="pallas_radix",
+        raw_total_usec=best_raw, floor_usec=floor)
     result = JoinResult(total_results=cnt,
                         s_after_filter=None if s_after < 0 else s_after)
     return result, stats, (0, 0)
@@ -346,32 +409,44 @@ def _run_pallas_radix(spec: AlgoSpec, R: Relation, S: Relation,
 
 def _run_pallas_prho(spec: AlgoSpec, R: Relation, S: Relation,
                      cfg: EngineConfig, bloom_args: Optional[BloomArgs],
-                     inner_repeats: int, key_range):
+                     inner_repeats: int, key_range,
+                     tier_name: str = "pallas_prho"):
     """PRHO: partitioned count/paysum-table probe with checksums.
 
     ops/prho_join.py — the reference's histogram re-order + SIMD probe
     (parallel_radix_join.c:438-555) as a VMEM count-slice gather engine;
-    supports non-unique builds and returns both checksums.
+    supports non-unique builds and returns both checksums.  The same
+    engine serves tier "pallas_npo" (NPO/NPO_st): identical dataflow,
+    but phase attribution follows NPO's two-phase contract — S-side
+    clustering is folded into the probe phase and no partition time is
+    reported (no_partitioning_join.c:497-595 has no partition phase).
     """
     from hwbloomradixjoin_tpu.ops import prho_join
 
     interpret = cfg.interpret or jax.default_backend() != "tpu"
     lo, hi = key_range
 
-    ck = ("prho", id(R.key), id(S.key), bloom_args, lo, hi,
+    ck = (tier_name, id(R.key), id(S.key), bloom_args, lo, hi,
           cfg.radix.num_radix_bits, interpret)
     t0 = time.perf_counter()
     hit = _PLAN_CACHE.get(ck)
     if hit is None:
         # the Pallas prune re-orders S (hash-partitioned layout); PRHO's
         # payload column must stay positionally aligned with the keys, so
-        # it uses the order-preserving XLA prune
-        sk_in, s_after, prune_usec = _bloom_prologue(R, S, bloom_args,
-                                                     interpret,
-                                                     allow_pallas=False)
-        plan = prho_join.plan_prho_join(
-            R.key, R.payload, sk_in, S.payload, lo, hi, interpret=interpret,
-            num_radix_bits=cfg.radix.num_radix_bits)
+        # it uses the order-preserving XLA prune.  PRH's probe side is
+        # keys-only, so any order works — it takes the fast Pallas prune.
+        sk_in, s_after, prune_usec = _bloom_prologue(
+            R, S, bloom_args, interpret,
+            allow_pallas=(tier_name == "pallas_prh"))
+        if tier_name == "pallas_prh":
+            plan = prho_join.plan_prh_join(
+                R.key, R.payload, sk_in, lo, hi, interpret=interpret,
+                num_radix_bits=cfg.radix.num_radix_bits)
+        else:
+            plan = prho_join.plan_prho_join(
+                R.key, R.payload, sk_in, S.payload, lo, hi,
+                interpret=interpret,
+                num_radix_bits=cfg.radix.num_radix_bits)
         if plan is None:
             return None
         while len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
@@ -383,20 +458,36 @@ def _run_pallas_prho(spec: AlgoSpec, R: Relation, S: Relation,
 
     part_usec = plan.time_partition() + prune_usec
     probe_usec = plan.time_probe()
+    build_usec = plan.time_build()
     floor = _bj.dispatch_floor_usec()
-    total_usec = None
-    for i in range(max(1, inner_repeats)):
+    reps = max(1, inner_repeats)
+    if reps >= 3 and plan.chain_fn is not None and not interpret:
+        cnt, sr, ss = plan.count3(chain=0, full=True)
+        plan.chained_count(1)               # compile + warm
         t0 = time.perf_counter()
-        cnt, sr, ss = plan.count3(chain=i)
+        plan.chained_count(reps)
         raw = (time.perf_counter() - t0) * 1e6
-        dt = max(raw - floor, 0.2 * raw) + prune_usec
-        total_usec = dt if total_usec is None else min(total_usec, dt)
+        total_usec = max(raw - floor, 0.5 * raw) / reps + prune_usec
+        best_raw = raw / reps + prune_usec
+    else:
+        total_usec = best_raw = None
+        for i in range(reps):
+            t0 = time.perf_counter()
+            cnt, sr, ss = plan.count3(chain=i, full=True)  # R build incl.
+            raw = (time.perf_counter() - t0) * 1e6
+            dt = max(raw - floor, 0.2 * raw) + prune_usec
+            if total_usec is None or dt < total_usec:
+                total_usec, best_raw = dt, raw + prune_usec
 
+    if tier_name == "pallas_npo":
+        probe_usec += part_usec          # NPO: clustering is probe work
+        part_usec = 0.0
     stats = JoinStats(
         total_usec=total_usec, part_usec=part_usec, probe_usec=probe_usec,
-        build_usec=plan.build_usec, result=cnt, num_s_tuples=S.capacity,
+        build_usec=build_usec, result=cnt, num_s_tuples=S.capacity,
         s_after_filter=None if s_after < 0 else s_after,
-        compile_usec=compile_usec, tier="pallas_prho")
+        compile_usec=compile_usec, tier=tier_name,
+        raw_total_usec=best_raw, floor_usec=floor)
     result = JoinResult(total_results=cnt,
                         s_after_filter=None if s_after < 0 else s_after)
     return result, stats, (sr, ss)
@@ -417,11 +508,6 @@ def run_join(name: str, R: Relation, S: Relation,
     spec = ALGORITHMS[name]
     if spec.family == "npo":
         bloom_args = None  # B_NPO wrappers ignore the filter (main.c:296-312)
-    if R.key_hi is not None and cfg.materialize:
-        raise NotImplementedError(
-            "--materialize with --key8b is not supported; run without "
-            "--key8b or without --materialize")
-
     key_range = _key_range(R) if R.key_hi is None else None
     tier = select_tier(spec, R, cfg, key_range)
     if tier == "dense" and key_range is None:
@@ -435,14 +521,20 @@ def run_join(name: str, R: Relation, S: Relation,
         if out is not None:
             return out
         tier = "ht" if key_range is not None else "sortscan"
-    elif tier == "pallas_prho":
+    elif tier in ("pallas_prho", "pallas_npo", "pallas_prh"):
         out = _run_pallas_prho(spec, R, S, cfg, bloom_args, inner_repeats,
-                               key_range)
+                               key_range, tier_name=tier)
         if out is not None:
             return out
-        tier = "ht"
+        tier = "sortscan" if tier == "pallas_prh" else "ht"
 
-    phases, fused = _phase_fns(spec, cfg, bloom_args, tier, key_range)
+    wide_pays = None
+    if R.payload_hi is not None:
+        sph = S.payload_hi if S.payload_hi is not None \
+            else jnp.zeros_like(S.payload)
+        wide_pays = (R.payload_hi, sph)
+    phases, fused = _phase_fns(spec, cfg, bloom_args, tier, key_range,
+                               wide_pays=wide_pays)
 
     zeros = jnp.zeros(0, jnp.int32)
     rkh = R.key_hi if R.key_hi is not None else zeros
@@ -484,6 +576,30 @@ def run_join(name: str, R: Relation, S: Relation,
         ss = jnp.uint32(0)
         result = JoinResult(total_results=c, r_payload=out_r, s_payload=out_s,
                             s_after_filter=None)
+    elif tier == "materialize8b":
+        import numpy as np
+        _, (orh, orl), (osh, osl), _k, s_after = out
+        sr = jnp.uint32(0)
+        ss = jnp.uint32(0)
+
+        def i64(hi, lo):
+            return ((np.asarray(hi).astype(np.int64) << 32)
+                    | (np.asarray(lo).astype(np.uint32).astype(np.int64)))
+        result = JoinResult(total_results=c, r_payload=i64(orh, orl),
+                            s_payload=i64(osh, osl), s_after_filter=None)
+    elif tier == "key8b" and len(out) == 6:
+        _, srh, srl, ssh, ssl, s_after = out
+        sr = (int(srh) & 0xFFFFFFFF) << 32 | (int(srl) & 0xFFFFFFFF)
+        ss = (int(ssh) & 0xFFFFFFFF) << 32 | (int(ssl) & 0xFFFFFFFF)
+        s_after_i = int(s_after)
+        result = JoinResult(
+            total_results=c,
+            s_after_filter=None if s_after_i < 0 else s_after_i)
+        return result, JoinStats(
+            total_usec=total_usec, result=c, num_s_tuples=S.capacity,
+            s_after_filter=result.s_after_filter,
+            probe_usec=total_usec, compile_usec=compile_usec,
+            tier=tier), (sr, ss)
     else:
         _, sr, ss, s_after = out
         s_after_i = int(s_after)

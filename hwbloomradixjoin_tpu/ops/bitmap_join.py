@@ -40,7 +40,6 @@ portable tiers (models/registry.py).
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time
 from typing import Optional
 
@@ -73,11 +72,17 @@ def plan_geometry(lo: int, hi: int, num_radix_bits: Optional[int] = None):
     """
     span = hi - lo + 1
     range_bits = max((max(span - 1, 1)).bit_length(), 12)
-    lo_bits = max(range_bits - 17, 0)
+    # knob window reaches shift=19 (sl_rows=128): each partition bit costs
+    # ~0.32 ns/elem in the split network while a doubled slice adds only
+    # ~0.004 ns/row to the probe ladder, so bigger slices win whenever the
+    # probe sees fewer elements than the partition (q < 1 workloads) —
+    # sweepable via --engine-radix-bits (the figure-9 axis)
+    lo_bits = max(range_bits - 19, 0)
     hi_bits = max(range_bits - 12, 0)
-    part_bits = lo_bits if num_radix_bits is None else (
+    default_bits = max(range_bits - 17, 0)
+    part_bits = default_bits if num_radix_bits is None else (
         min(max(num_radix_bits, lo_bits), hi_bits))
-    shift = range_bits - part_bits            # in [12, 17]
+    shift = range_bits - part_bits            # in [12, 19]
     # slice stride >= 8 rows: Mosaic requires block sublanes divisible by 8
     # (slices smaller than 2^15 bits get zero-padded rows)
     sl_rows = max(1 << (shift - 12), 8)
@@ -275,6 +280,175 @@ def bitmap_probe_count(bitmap, s_part, row_d, own_d, geom: ProbeGeom,
     return out[0, 0]
 
 
+def _build_kernel_for(geom: ProbeGeom):
+    """R-side bitmap build: deposit one bit per R key into the bucket slice.
+
+    The TPU replacement for the reference's in-join build phase (chain
+    build parallel_radix_join.c:255-280 / filter inserts fused into R's
+    pass-1, parallel_radix_join_bloom.c:794-797).  Round 3 built the
+    bitmap with a plan-time XLA scatter (53 ns/R-tuple); this kernel runs
+    the same grid/window machinery as the probe but in reverse: per step
+    it DMAs the bucket's R runs into VMEM and ORs their bits into an
+    accumulator slice.
+
+    The VPU has no cross-lane scatter, so the deposit rides the MXU:
+    for each 128-key sub-row, two one-hot bf16 matmuls contract the key
+    axis — M[j, l] = sum_p (rowj_p == j) * val_p * (lane_p == l) — which
+    is a scatter-ADD of val into word (j, l).  Unique R keys give every
+    key a distinct (word, bit), so ADD == OR (the same argument that made
+    the reference's relaxed atomic fetch-OR exact, bloom_filter.c:84) and
+    the f32 accumulation is exact: bit values are split into lo/hi
+    16-bit halves, each half a sum of DISTINCT powers of two < 2^16.
+    """
+    sl_rows = geom.sl_rows
+    c_rows = geom.c_rows
+    ch = geom.ch_per_step
+    ngroups = geom.ngroups
+    nchunks = geom.nchunks
+    nt = geom.ntiles
+    gnt = ngroups * nt
+    lo = geom.lo
+    shift = geom.shift
+
+    def kern(row_d, own_d, r_ref, out_ref, sbuf, sem, acc_lo, acc_hi):
+        g = pl.program_id(0)
+        b = g // gnt
+        gi = (g // nt) - b * ngroups
+        step_in_b = g - b * gnt
+
+        @pl.when(step_in_b == 0)
+        def _():
+            acc_lo[:] = jnp.zeros_like(acc_lo)
+            acc_hi[:] = jnp.zeros_like(acc_hi)
+
+        nlive = jnp.minimum(nchunks - gi * ch, ch)
+        for t in range(ch):
+            @pl.when(t < nlive)
+            def _():
+                pltpu.make_async_copy(
+                    r_ref.at[pl.ds(row_d[0, 0, t], c_rows), :],
+                    sbuf.at[pl.ds(t * c_rows, c_rows), :], sem).start()
+        for t in range(ch):
+            @pl.when(t < nlive)
+            def _():
+                pltpu.make_async_copy(
+                    r_ref.at[pl.ds(row_d[0, 0, t], c_rows), :],
+                    sbuf.at[pl.ds(t * c_rows, c_rows), :], sem).wait()
+
+        live_rows = nlive * c_rows
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+        iota_j = jax.lax.broadcasted_iota(jnp.int32, (sl_rows, LANES), 0)
+        iota_l = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+        dn = (((1,), (1,)), ((), ()))   # contract both lane axes: A @ C.T
+
+        def sub(u, _):
+            t = u // (c_rows // 8)
+            r = pl.multiple_of(u * 8, 8)
+            k = sbuf[pl.ds(r, 8), :]
+            norm = k - jnp.int32(lo)
+            # same masking as the probe: window rows of other buckets /
+            # chunk slack never alias b; ownership dedupes heavy-run tiles
+            abs_row = row_d[0, 0, t] + (r - t * c_rows) + row_iota
+            owned = (abs_row >= own_d[0, 0, t]) \
+                & (abs_row < own_d[0, 0, t] + c_rows)
+            ok = ((norm >> shift) == b) & owned
+            local = norm & ((1 << shift) - 1)
+            w = local >> 5
+            lane = w & (LANES - 1)
+            rowj = w >> 7
+            bit = norm & 31
+            vlo = jnp.where(ok & (bit < 16),
+                            jnp.int32(1) << jnp.minimum(bit, 15), 0
+                            ).astype(jnp.bfloat16)
+            vhi = jnp.where(ok & (bit >= 16),
+                            jnp.int32(1) << jnp.maximum(bit - 16, 0), 0
+                            ).astype(jnp.bfloat16)
+            for i in range(8):
+                mJ = (iota_j == rowj[i:i + 1, :]).astype(jnp.bfloat16)
+                C = (iota_l == lane[i:i + 1, :]).astype(jnp.bfloat16)
+                a_lo = mJ * vlo[i:i + 1, :]
+                a_hi = mJ * vhi[i:i + 1, :]
+                acc_lo[:] += jax.lax.dot_general(
+                    a_lo, C, dn, preferred_element_type=jnp.float32)
+                acc_hi[:] += jax.lax.dot_general(
+                    a_hi, C, dn, preferred_element_type=jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, live_rows // 8, sub, 0)
+
+        @pl.when(step_in_b == gnt - 1)
+        def _():
+            lo_i = acc_lo[:].astype(jnp.int32)
+            hi_i = acc_hi[:].astype(jnp.int32)
+            out_ref[:] = lo_i | (hi_i << 16)
+    return kern
+
+
+def bitmap_build_pallas(r_part, row_d, own_d, geom: ProbeGeom,
+                        interpret: bool = False):
+    """Build the exact bitmap from partitioned R: (F * sl_rows, 128) int32."""
+    G = geom.grid
+    gnt = geom.ngroups * geom.ntiles
+    F = 1 << geom.part_bits
+    smem_desc = pl.BlockSpec((1, 1, geom.ch_per_step), lambda g: (g, 0, 0),
+                             memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        _build_kernel_for(geom),
+        grid=(G,),
+        in_specs=[
+            smem_desc, smem_desc,
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((geom.sl_rows, LANES),
+                               lambda g, gnt=gnt: (g // gnt, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((F * geom.sl_rows, LANES), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((geom.ch_per_step * geom.c_rows, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((geom.sl_rows, LANES), jnp.float32),
+            pltpu.VMEM((geom.sl_rows, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=VMEM_LIMIT),
+    )(row_d, own_d, r_part)
+
+
+def plan_bitmap_build(r_key, lo: int, hi: int, part_bits: int, shift: int,
+                      sl_rows: int, interpret: bool = False,
+                      chunk_rows: int = CHUNK_ROWS):
+    """Plan the Pallas R-side build: returns (build_from, rk_in) or None.
+
+    build_from(rk, chain) is jittable: Pallas partition of R (same split
+    kernel as S) -> device-side descriptors -> MXU deposit kernel.
+    One plan-time host sync fixes R's window geometry from its observed
+    max run.  Returns None on heavy R skew (cannot happen for unique
+    keys with sane geometry, but guarded like the probe).
+    """
+    pgeom = radix_ops.RadixGeom(chunk_rows=chunk_rows, part_bits=part_bits,
+                                lo=lo, hi=hi, shift=shift)
+    chunk = chunk_rows * LANES
+    rk_in = radix_ops._chunk_pad(r_key, chunk)
+    nchunks = rk_in.shape[0] // chunk
+    part = jax.jit(lambda rk: radix_ops.partition_pass(
+        rk, interpret=interpret, geom=pgeom))
+    _, rstarts = part(rk_in)
+    F = 1 << part_bits
+    st = np.asarray(rstarts).reshape(nchunks, -1)[:, :F + 1].astype(np.int64)
+    max_run = int((st[:, 1:] - st[:, :-1]).max()) if nchunks else 1
+    bgeom = _probe_geom(part_bits, shift, sl_rows, lo, chunk_rows, nchunks,
+                        max_run)
+
+    def build_from(rk, chain):
+        rp, rst = radix_ops.partition_pass(rk + chain * 0,
+                                           interpret=interpret, geom=pgeom)
+        rd, od = derive_descs(rst.reshape(nchunks, -1, LANES), bgeom)
+        return bitmap_build_pallas(rp, rd, od, bgeom, interpret=interpret)
+
+    return build_from, rk_in, bgeom
+
+
 _FLOOR_USEC = [None]
 
 
@@ -301,10 +475,13 @@ def dispatch_floor_usec() -> float:
 class RadixJoinPlan:
     """Compiled radix join; steady state is device-only.
 
-    count() runs the full S-side pipeline on device: partition pass ->
-    descriptor derivation -> probe, in one jitted program.  The R-side
-    build (bitmap) lives in the plan, mirroring a served build side; its
-    one-off build time is reported as the build phase.
+    full_count() is the honest end-to-end program: R build (Pallas
+    partition + MXU deposit) -> S partition -> probe, fused into ONE
+    device program per repeat, so its wall time covers everything the
+    reference's TOTAL-TIME-USECS covers (print_timing,
+    parallel_radix_join_bloom.c:1509-1547: build + both partitions +
+    join).  count() is the S-side-only pipeline (cached build), kept for
+    the served-build-side pattern and incremental phase timing.
     """
 
     count_fn: "callable"        # chain:int32 -> count (partition -> probe)
@@ -313,9 +490,25 @@ class RadixJoinPlan:
     s_tuples: int
     build_usec: float
     geom: ProbeGeom
+    full_fn: "callable" = None  # chain -> count (build -> part -> probe)
+    build_scalar_fn: "callable" = None   # chain -> scalar of the bitmap
+    chain_fn: "callable" = None  # reps -> count of last of reps chained runs
 
     def count(self, chain=0) -> int:
         return int(self.count_fn(jnp.int32(chain)))
+
+    def full_count(self, chain=0) -> int:
+        fn = self.full_fn or self.count_fn
+        return int(fn(jnp.int32(chain)))
+
+    def chained_count(self, reps: int) -> int:
+        """reps serialized full joins inside ONE device program (each
+        iteration's chain input depends on the previous count, so the
+        runtime cannot parallelize or cache them).  Wall time / reps is
+        a dispatch-floor-free steady-state measurement — the honest
+        protocol for sweep-scale workloads where a single execution is
+        comparable to the ~25 ms transport floor (ADVICE r3)."""
+        return int(self.chain_fn(jnp.int32(reps)))
 
     def _time(self, fn) -> float:
         floor = dispatch_floor_usec()
@@ -331,6 +524,12 @@ class RadixJoinPlan:
 
     def time_probe(self) -> float:
         return self._time(self.probe_fn)
+
+    def time_build(self) -> float:
+        """Steady-state build phase (one synced dispatch, floor-adjusted)."""
+        if self.build_scalar_fn is None:
+            return self.build_usec
+        return self._time(self.build_scalar_fn)
 
 
 C_ROWS_CAP = 1024          # tile cap: heavy runs span tiles, not windows
@@ -374,13 +573,29 @@ def plan_radix_join(r_key, s_key, lo: int, hi: int,
                                 lo=lo, hi=hi, shift=shift)
     chunk = chunk_rows * LANES
 
+    # R-side build: Pallas partition + MXU deposit (plan_bitmap_build);
+    # timed as a steady-state synced dispatch, like the other phases
+    build_from, rk_in, _ = plan_bitmap_build(
+        r_key, lo, hi, part_bits, shift, sl_rows, interpret=interpret,
+        chunk_rows=chunk_rows)
+    build_jit = jax.jit(build_from)
+    build_scalar = jax.jit(
+        lambda rk, chain: build_from(rk, chain)[-1, -1] + chain * 0)
     t0 = time.perf_counter()
-    bitmap = jax.jit(functools.partial(
-        build_bitmap, lo=lo, hi=hi, part_bits=part_bits, shift=shift,
-        sl_rows=sl_rows)
-    )(r_key)
-    bitmap = jax.block_until_ready(bitmap)
-    build_usec = (time.perf_counter() - t0) * 1e6
+    bitmap = jax.block_until_ready(build_jit(rk_in, jnp.int32(0)))
+    if interpret:
+        # CPU interpret: one execution is the measurement (the remote-
+        # dispatch steady-state protocol below is a TPU concern)
+        build_usec = max((time.perf_counter() - t0) * 1e6, 1.0)
+        build_scalar_fn = None
+    else:
+        floor = dispatch_floor_usec()
+        int(build_scalar(rk_in, jnp.int32(1)))  # warm (compile + first run)
+        t0 = time.perf_counter()
+        int(build_scalar(rk_in, jnp.int32(2)))
+        raw = (time.perf_counter() - t0) * 1e6
+        build_usec = max(raw - floor, 0.2 * raw)
+        build_scalar_fn = lambda c: build_scalar(rk_in, c)
 
     part = jax.jit(lambda sk, chain: radix_ops.partition_pass(
         sk + chain * 0, interpret=interpret, geom=pgeom))
@@ -401,7 +616,28 @@ def plan_radix_join(r_key, s_key, lo: int, hi: int,
         return bitmap_probe_count(bitmap, sp, row_d, own_d, geom,
                                   interpret=interpret)
 
+    def full_from(rk, sk, chain):
+        # the whole join as ONE device program: R build + S partition +
+        # probe — the program whose wall time matches the reference's
+        # TOTAL (build and partitioning inside the measured span)
+        bm = build_from(rk, chain)
+        sp, stt = part(sk, chain)
+        row_d, own_d = derive_descs(stt.reshape(nchunks, -1, LANES), geom)
+        return bitmap_probe_count(bm, sp, row_d, own_d, geom,
+                                  interpret=interpret)
+
     count_jit = jax.jit(count_from)
+    full_jit = jax.jit(full_from)
+
+    def chain_from(rk, sk, reps):
+        # serialized repeats: iteration i's chain input folds in the
+        # previous count, forcing true re-execution (lazy-compiled —
+        # only sweep callers pay for this program)
+        def body(i, acc):
+            return full_from(rk, sk, i + acc * 0)
+        return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+
+    chain_jit = jax.jit(chain_from)
     descs0 = jax.jit(lambda stt: derive_descs(
         stt.reshape(nchunks, -1, LANES), geom))(starts)
     probe_jit = jax.jit(lambda sp, rd, chain: bitmap_probe_count(
@@ -411,7 +647,7 @@ def plan_radix_join(r_key, s_key, lo: int, hi: int,
     part_scalar = jax.jit(
         lambda sk, chain: part(sk, chain)[0].ravel()[-1].astype(jnp.int32))
     # warm so steady-state timings exclude compiles
-    int(count_jit(sk_in, jnp.int32(0)))
+    int(full_jit(rk_in, sk_in, jnp.int32(0)))
 
     return RadixJoinPlan(
         count_fn=lambda c: count_jit(sk_in, c),
@@ -419,4 +655,7 @@ def plan_radix_join(r_key, s_key, lo: int, hi: int,
         probe_fn=lambda c: probe_jit(s_part, descs0, c),
         s_tuples=int(s_key.shape[0]),
         build_usec=build_usec,
-        geom=geom)
+        geom=geom,
+        full_fn=lambda c: full_jit(rk_in, sk_in, c),
+        build_scalar_fn=build_scalar_fn,
+        chain_fn=lambda n: chain_jit(rk_in, sk_in, n))

@@ -56,16 +56,38 @@ SLICE_BITS = 17            # 2^17-bit slices = 32 vreg rows of words
 MAX_PART_BITS = 10
 
 
-def geometry(args: BloomArgs):
-    """(part_bits, hash_bits) for the hash partition; None if unsuitable."""
+MAX_PART_BITS_2PASS = 20   # 2-pass partition depth cap (m <= 2^37 b=512)
+
+
+def geometry_raw(args: BloomArgs):
+    """(part_bits, hash_bits) for slice-resident probing; None if the
+    variant/geometry has no Pallas formulation at any partition depth."""
     if args.variant != BloomVariant.BLOCKED:
         return None
     hash_bits = (args.nblocks - 1).bit_length() if args.nblocks > 1 else 0
     b_bits = (args.B - 1).bit_length()
+    if b_bits > SLICE_BITS:
+        return None    # block exceeds a slice -> portable XLA fallback
     part_bits = max(hash_bits - (SLICE_BITS - b_bits), 0)
-    if part_bits > MAX_PART_BITS:
+    if part_bits > hash_bits or part_bits > MAX_PART_BITS_2PASS:
         return None
     return part_bits, hash_bits
+
+
+def geometry(args: BloomArgs):
+    """(part_bits, hash_bits) for the SINGLE-pass tier; None if too deep.
+
+    Deeper geometries (the flagship m=2^30 B=512 needs 13 partition
+    bits) go through the 2-pass tier (plan_bloom_prune_2pass): a single
+    pass at >10 bits leaves (chunk, bucket) runs smaller than a DMA
+    window, amplifying probe traffic ~10x, while two passes produce one
+    dense contiguous run per final bucket — the same argument that fixed
+    NUM_PASSES=2 in the reference (prj_params.h:15-22, run.py:205-211).
+    """
+    g = geometry_raw(args)
+    if g is None or g[0] > MAX_PART_BITS:
+        return None
+    return g
 
 
 def _probe_kernel_for(geom: bitmap_join.ProbeGeom, args: BloomArgs,
@@ -220,6 +242,12 @@ def plan_bloom_prune(r_key, s_key, args: BloomArgs,
     """
     g = geometry(args)
     if g is None:
+        g2 = geometry_raw(args)
+        if g2 is not None:
+            # too deep for one pass -> dense 2-pass hash partition
+            return plan_bloom_prune_2pass(r_key, s_key, args, g2[0], g2[1],
+                                          interpret=interpret,
+                                          chunk_rows=chunk_rows)
         return None
     part_bits, hash_bits = g
     if interpret:
@@ -262,3 +290,91 @@ def plan_bloom_prune(r_key, s_key, args: BloomArgs,
     jax.block_until_ready(prune_jit(sk_in, jnp.int32(0)))
     return BloomPrunePlan(prune_fn=lambda c: prune_jit(sk_in, c),
                           build_usec=build_usec, geom=geom)
+
+
+def plan_bloom_prune_2pass(r_key, s_key, args: BloomArgs, part_bits: int,
+                           hash_bits: int, interpret: bool = False,
+                           chunk_rows: int = bitmap_join.CHUNK_ROWS):
+    """Deep-geometry prune: 2-pass hash partition + slice probe.
+
+    The flagship blocked config m=2^30 B=512 (BASELINE config 3, the
+    golden-FPR geometry) needs 13 partition bits for 2^17-bit slices;
+    a single pass at that depth leaves ~64-element (chunk, bucket) runs
+    — so pass 1 partitions by the TOP b1 block-index bits, pass 2
+    regroups each pass-1 bucket into a contiguous region sub-split by
+    the next b2 bits (multipass.pass2_partition in hash mode), and the
+    probe serves one dense run per final bucket.  Mirrors the reference
+    2-pass choreography with the filter fused into the S pass
+    (parallel_radix_join_bloom.c:798-849, 1851-1889).
+    """
+    from hwbloomradixjoin_tpu.ops import multipass
+
+    if interpret:
+        chunk_rows = min(chunk_rows, 1024)
+    sl_rows = max((1 << (hash_bits - part_bits)) * (args.B // 32) // LANES,
+                  1)
+    if sl_rows % 8 and not interpret:
+        return None
+    b1 = min(part_bits - 1, MAX_PART_BITS)
+    b2 = part_bits - b1
+    if b2 < 1:
+        return None
+
+    t0 = time.perf_counter()
+    bm = jax.jit(lambda rk: bloom_ops.build_bitmap_xla(rk, args)
+                 .astype(jnp.int32).reshape(-1, LANES))(r_key)
+    bm = jax.block_until_ready(bm)
+    build_usec = (time.perf_counter() - t0) * 1e6
+
+    p1geom = radix_ops.RadixGeom(chunk_rows=chunk_rows, part_bits=b1,
+                                 hash_seed=args.seed, hash_bits=hash_bits)
+    chunk = chunk_rows * LANES
+    part1 = jax.jit(lambda sk, chain: radix_ops.partition_pass(
+        sk + chain * 0, interpret=interpret, geom=p1geom))
+    sk_in = radix_ops._chunk_pad(s_key, chunk)
+    nchunks = sk_in.shape[0] // chunk
+    sp1, starts1 = part1(sk_in, jnp.int32(0))
+
+    F1, F2 = 1 << b1, 1 << b2
+    st = np.asarray(starts1).reshape(nchunks, -1)[:, :F1 + 1].astype(np.int64)
+    runs1 = st[:, 1:] - st[:, :-1]
+    c1_rows = (int(-(-runs1.max() // LANES)) + 1 + 7) & ~7
+    if c1_rows > chunk_rows:
+        return None                         # heavy hash skew -> XLA prune
+    if nchunks * c1_rows > 8 * bitmap_join.SBUF_BUDGET_ROWS or nchunks > 2048:
+        return None
+    cap_rows = (int(-(-(runs1.sum(0).max() + nchunks * LANES) // LANES))
+                + 7) & ~7
+    cap_rows = min(cap_rows, nchunks * c1_rows)
+    cr2 = ((F2 + 1 + LANES - 1) // LANES + 7) & ~7
+    p2 = multipass.Pass2Geom(
+        b1=b1, b2=b2, shift1=0, shift2=0, lo=0, hi=0,
+        chunk_rows=chunk_rows, nchunks=nchunks, c1_rows=c1_rows,
+        cap_rows=cap_rows, cat2_rows=cr2,
+        hash_seed=args.seed, hash_bits=hash_bits)
+
+    sp2, starts2 = jax.jit(lambda s1, st1: multipass.pass2_partition(
+        s1, multipass._descs1(st1, p2), p2, interpret=interpret))(
+            sp1, starts1)
+    st2 = np.asarray(starts2).reshape(F1, -1)[:, :F2 + 1].astype(np.int64)
+    run2_max = int((st2[:, 1:] - st2[:, :-1]).max())
+    run2_rows = int(-(-run2_max // LANES)) + 1
+    c_rows = min((run2_rows + 7) & ~7, cap_rows, bitmap_join.C_ROWS_CAP)
+    ntiles = max(1, -(-run2_rows // c_rows))
+    pgeom = bitmap_join.ProbeGeom(
+        part_bits=part_bits, shift=0, sl_rows=sl_rows, lo=0,
+        chunk_rows=cap_rows, nchunks=1, c_rows=c_rows,
+        ch_per_step=1, ngroups=1, ntiles=ntiles)
+
+    def prune_from(sk, chain):
+        s1, st1 = part1(sk, chain)
+        s2, st2d = multipass.pass2_partition(
+            s1, multipass._descs1(st1, p2), p2, interpret=interpret)
+        rd, od = multipass.derive_descs_contig(st2d, pgeom, p2)
+        return bloom_probe_prune(bm, s2, rd, od, pgeom, args, hash_bits,
+                                 interpret=interpret)
+
+    prune_jit = jax.jit(prune_from)
+    jax.block_until_ready(prune_jit(sk_in, jnp.int32(0)))
+    return BloomPrunePlan(prune_fn=lambda c: prune_jit(sk_in, c),
+                          build_usec=build_usec, geom=pgeom)

@@ -55,6 +55,11 @@ class Pass2Geom:
     c1_rows: int          # pass-1 run DMA window rows
     cap_rows: int         # output region rows per pass-1 bucket
     cat2_rows: int        # rows of the pass-2 starts block
+    # hash mode (bloom prune): categories come from the filter's block
+    # index crc32c(seed, key) instead of the key value — the 2-pass
+    # analogue of RadixGeom's hash mode (ops/radix.py)
+    hash_seed: Optional[int] = None
+    hash_bits: int = 0
 
     @property
     def gbuf_rows(self):
@@ -81,13 +86,22 @@ def _pass2_kernel_for(geom: Pass2Geom):
                 gbuf.at[pl.ds(t * c1, c1), :], sem).wait()
 
         key = gbuf[:]
-        norm = key - jnp.int32(lo)
-        mine = (norm >> shift1) == b           # window slack -> pad
-        key = jnp.where(mine, key, jnp.int32(PAD_KEY))
-        norm = key - jnp.int32(lo)
-        sub = jax.lax.shift_right_logical(
-            norm.astype(jnp.uint32), jnp.uint32(shift2)
-        ).astype(jnp.int32) & (F2 - 1)
+        if geom.hash_seed is not None:
+            from hwbloomradixjoin_tpu.ops import hashes
+            block = (hashes.hash_crc(jnp.uint32(geom.hash_seed), key)
+                     & jnp.uint32((1 << geom.hash_bits) - 1)
+                     ).astype(jnp.int32)
+            mine = (key != PAD_KEY) \
+                & ((block >> (geom.hash_bits - geom.b1)) == b)
+            sub = (block >> (geom.hash_bits - geom.b1 - geom.b2)) & (F2 - 1)
+        else:
+            norm = key - jnp.int32(lo)
+            mine = (norm >> shift1) == b       # window slack -> pad
+            key = jnp.where(mine, key, jnp.int32(PAD_KEY))
+            norm = key - jnp.int32(lo)
+            sub = jax.lax.shift_right_logical(
+                norm.astype(jnp.uint32), jnp.uint32(shift2)
+            ).astype(jnp.int32) & (F2 - 1)
         cat = jnp.where(mine, sub, F2)
         cat_s, (key_s,) = radix_ops.split_chunk(cat, [key], geom.b2 + 1)
         out_ref[:] = key_s[:cap]
@@ -163,11 +177,17 @@ class TwoPassPlan:
     build_usec: float
     geom: bitmap_join.ProbeGeom
     pass2: Pass2Geom
+    full_fn: "callable" = None
+    build_scalar_fn: "callable" = None
+    chain_fn: "callable" = None
 
     count = bitmap_join.RadixJoinPlan.count
+    full_count = bitmap_join.RadixJoinPlan.full_count
+    chained_count = bitmap_join.RadixJoinPlan.chained_count
     _time = bitmap_join.RadixJoinPlan._time
     time_partition = bitmap_join.RadixJoinPlan.time_partition
     time_probe = bitmap_join.RadixJoinPlan.time_probe
+    time_build = bitmap_join.RadixJoinPlan.time_build
 
 
 def plan_radix_join_2pass(r_key, s_key, lo: int, hi: int,
@@ -193,11 +213,27 @@ def plan_radix_join_2pass(r_key, s_key, lo: int, hi: int,
                                  lo=lo, hi=hi, shift=shift1)
     chunk = chunk_rows * LANES
 
+    # R-side build: same Pallas partition + MXU deposit engine as the
+    # single-pass plan (bitmap_join.plan_bitmap_build)
+    build_from, rk_in, _ = bitmap_join.plan_bitmap_build(
+        r_key, lo, hi, part_bits, shift, sl_rows, interpret=interpret,
+        chunk_rows=chunk_rows)
+    build_jit = jax.jit(build_from)
+    build_scalar = jax.jit(
+        lambda rk, chain: build_from(rk, chain)[-1, -1] + chain * 0)
     t0 = time.perf_counter()
-    bitmap = jax.jit(lambda rk: bitmap_join.build_bitmap(
-        rk, lo, hi, part_bits, shift, sl_rows))(r_key)
-    bitmap = jax.block_until_ready(bitmap)
-    build_usec = (time.perf_counter() - t0) * 1e6
+    bitmap = jax.block_until_ready(build_jit(rk_in, jnp.int32(0)))
+    if interpret:
+        build_usec = max((time.perf_counter() - t0) * 1e6, 1.0)
+        build_scalar_fn = None
+    else:
+        floor = bitmap_join.dispatch_floor_usec()
+        int(build_scalar(rk_in, jnp.int32(1)))
+        t0 = time.perf_counter()
+        int(build_scalar(rk_in, jnp.int32(2)))
+        raw = (time.perf_counter() - t0) * 1e6
+        build_usec = max(raw - floor, 0.2 * raw)
+        build_scalar_fn = lambda c: build_scalar(rk_in, c)
 
     part1 = jax.jit(lambda sk, chain: radix_ops.partition_pass(
         sk + chain * 0, interpret=interpret, geom=p1geom))
@@ -209,6 +245,12 @@ def plan_radix_join_2pass(r_key, s_key, lo: int, hi: int,
     st = np.asarray(starts1).reshape(nchunks, -1)[:, :F1 + 1].astype(np.int64)
     runs1 = st[:, 1:] - st[:, :-1]
     c1_rows = (int(-(-runs1.max() // LANES)) + 1 + 7) & ~7
+    if c1_rows > chunk_rows:
+        # a pass-1 bucket (nearly) fills a whole chunk: _descs1's window
+        # clamp would go negative and gather rows outside the chunk —
+        # fall back to the 1-pass engine, whose ownership-masked tiles
+        # handle heavy runs (the SKEW_HANDLING bail-out analogue)
+        return None
     if nchunks * c1_rows > 8 * bitmap_join.SBUF_BUDGET_ROWS or nchunks > 512:
         return None                                   # gather buffer too big
     cap_rows = (int(-(-(runs1.sum(0).max() + nchunks * LANES) // LANES))
@@ -240,7 +282,25 @@ def plan_radix_join_2pass(r_key, s_key, lo: int, hi: int,
         return bitmap_join.bitmap_probe_count(bitmap, s2, rd, od, pgeom,
                                               interpret=interpret)
 
+    def full_from(rk, sk, chain):
+        bm = build_from(rk, chain)
+        s1, st1 = part1(sk, chain)
+        s2, st2d = pass2_partition(s1, _descs1(st1, p2), p2,
+                                   interpret=interpret)
+        rd, od = derive_descs_contig(st2d, pgeom, p2)
+        return bitmap_join.bitmap_probe_count(bm, s2, rd, od, pgeom,
+                                              interpret=interpret)
+
     count_jit = jax.jit(count_from)
+    full_jit = jax.jit(full_from)
+
+    def chain_from(rk, sk, reps):
+        def body(i, acc):
+            return full_from(rk, sk, i + acc * 0)
+        return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+
+    chain_jit = jax.jit(chain_from)
+    int(full_jit(rk_in, sk_in, jnp.int32(0)))
     int(count_jit(sk_in, jnp.int32(0)))
     rd0 = jax.jit(lambda s: derive_descs_contig(s, pgeom, p2))(starts2)
     probe_jit = jax.jit(lambda sp, rd, chain: bitmap_join.bitmap_probe_count(
@@ -254,7 +314,10 @@ def plan_radix_join_2pass(r_key, s_key, lo: int, hi: int,
         part_fn=lambda c: part_scalar(sk_in, c),
         probe_fn=lambda c: probe_jit(sp2, rd0, c),
         s_tuples=int(s_key.shape[0]),
-        build_usec=build_usec, geom=pgeom, pass2=p2)
+        build_usec=build_usec, geom=pgeom, pass2=p2,
+        full_fn=lambda c: full_jit(rk_in, sk_in, c),
+        build_scalar_fn=build_scalar_fn,
+        chain_fn=lambda n: chain_jit(rk_in, sk_in, n))
 
 
 def _descs1(starts1, geom: Pass2Geom):

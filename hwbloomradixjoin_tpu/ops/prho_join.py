@@ -78,7 +78,178 @@ def build_tables(r_key, r_pay, lo: int, hi: int, part_bits: int,
     return cnt.reshape(rows, LANES), pay.reshape(rows, LANES)
 
 
-def _probe_kernel_for(geom: bitmap_join.ProbeGeom):
+def _build_kernel_for(geom: bitmap_join.ProbeGeom):
+    """Count + paysum table build: MXU one-hot deposit over partitioned R.
+
+    Same window machinery as bitmap_join._build_kernel_for, but deposits
+    COUNTS (val=1, duplicates accumulate multiplicity) and PAYLOAD SUMS.
+    Payloads are split into four 8-bit limbs so each limb's f32 matmul
+    accumulation stays exact (limb sums < 2^24 while per-slot
+    multiplicity < ~65k — planner-guarded); the limbs recombine with
+    int32 shifts, wrapping mod 2^32 exactly like the reference's
+    unsigned checksum accumulators.
+    """
+    sl_rows = geom.sl_rows
+    c_rows = geom.c_rows
+    ch = geom.ch_per_step
+    ngroups = geom.ngroups
+    nchunks = geom.nchunks
+    nt = geom.ntiles
+    gnt = ngroups * nt
+    lo = geom.lo
+    shift = geom.shift
+
+    def kern(row_d, own_d, rk_ref, rp_ref, cnt_out, pay_out,
+             kbuf, pbuf, sem, acc_c, acc_p0, acc_p1, acc_p2, acc_p3):
+        g = pl.program_id(0)
+        b = g // gnt
+        gi = (g // nt) - b * ngroups
+        step_in_b = g - b * gnt
+
+        @pl.when(step_in_b == 0)
+        def _():
+            acc_c[:] = jnp.zeros_like(acc_c)
+            acc_p0[:] = jnp.zeros_like(acc_p0)
+            acc_p1[:] = jnp.zeros_like(acc_p1)
+            acc_p2[:] = jnp.zeros_like(acc_p2)
+            acc_p3[:] = jnp.zeros_like(acc_p3)
+
+        nlive = jnp.minimum(nchunks - gi * ch, ch)
+        for t in range(ch):
+            @pl.when(t < nlive)
+            def _():
+                pltpu.make_async_copy(
+                    rk_ref.at[pl.ds(row_d[0, 0, t], c_rows), :],
+                    kbuf.at[pl.ds(t * c_rows, c_rows), :], sem).start()
+                pltpu.make_async_copy(
+                    rp_ref.at[pl.ds(row_d[0, 0, t], c_rows), :],
+                    pbuf.at[pl.ds(t * c_rows, c_rows), :], sem).start()
+        for t in range(ch):
+            @pl.when(t < nlive)
+            def _():
+                pltpu.make_async_copy(
+                    rk_ref.at[pl.ds(row_d[0, 0, t], c_rows), :],
+                    kbuf.at[pl.ds(t * c_rows, c_rows), :], sem).wait()
+                pltpu.make_async_copy(
+                    rp_ref.at[pl.ds(row_d[0, 0, t], c_rows), :],
+                    pbuf.at[pl.ds(t * c_rows, c_rows), :], sem).wait()
+
+        live_rows = nlive * c_rows
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+        iota_j = jax.lax.broadcasted_iota(jnp.int32, (sl_rows, LANES), 0)
+        iota_l = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+        dn = (((1,), (1,)), ((), ()))
+
+        def sub(u, _):
+            t = u // (c_rows // 8)
+            r = pl.multiple_of(u * 8, 8)
+            k = kbuf[pl.ds(r, 8), :]
+            p = pbuf[pl.ds(r, 8), :]
+            norm = k - jnp.int32(lo)
+            abs_row = row_d[0, 0, t] + (r - t * c_rows) + row_iota
+            owned = (abs_row >= own_d[0, 0, t]) \
+                & (abs_row < own_d[0, 0, t] + c_rows)
+            ok = ((norm >> shift) == b) & owned
+            local = norm & ((1 << shift) - 1)
+            lane = local & (LANES - 1)
+            rowj = local >> 7
+            okf = ok.astype(jnp.bfloat16)
+            limbs = [(((p >> (8 * q)) & 255).astype(jnp.bfloat16) * okf)
+                     for q in range(4)]
+            for i in range(8):
+                mJ = (iota_j == rowj[i:i + 1, :]).astype(jnp.bfloat16)
+                C = (iota_l == lane[i:i + 1, :]).astype(jnp.bfloat16)
+                acc_c[:] += jax.lax.dot_general(
+                    mJ * okf[i:i + 1, :], C, dn,
+                    preferred_element_type=jnp.float32)
+                for acc, lim in zip((acc_p0, acc_p1, acc_p2, acc_p3),
+                                    limbs):
+                    acc[:] += jax.lax.dot_general(
+                        mJ * lim[i:i + 1, :], C, dn,
+                        preferred_element_type=jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, live_rows // 8, sub, 0)
+
+        @pl.when(step_in_b == gnt - 1)
+        def _():
+            cnt_out[:] = acc_c[:].astype(jnp.int32)
+            pay = acc_p0[:].astype(jnp.int32)
+            pay += acc_p1[:].astype(jnp.int32) << 8
+            pay += acc_p2[:].astype(jnp.int32) << 16
+            pay += acc_p3[:].astype(jnp.int32) << 24
+            pay_out[:] = pay
+    return kern
+
+
+def build_tables_pallas(rk_part, rp_part, row_d, own_d,
+                        geom: bitmap_join.ProbeGeom,
+                        interpret: bool = False):
+    """(count, paysum) tables from partitioned R: (F*sl_rows, 128) each."""
+    G = geom.grid
+    gnt = geom.ngroups * geom.ntiles
+    F = 1 << geom.part_bits
+    smem_desc = pl.BlockSpec((1, 1, geom.ch_per_step), lambda g: (g, 0, 0),
+                             memory_space=pltpu.SMEM)
+    out_blk = pl.BlockSpec((geom.sl_rows, LANES),
+                           lambda g, gnt=gnt: (g // gnt, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _build_kernel_for(geom),
+        grid=(G,),
+        in_specs=[
+            smem_desc, smem_desc,
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(out_blk, out_blk),
+        out_shape=(
+            jax.ShapeDtypeStruct((F * geom.sl_rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((F * geom.sl_rows, LANES), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((geom.ch_per_step * geom.c_rows, LANES), jnp.int32),
+            pltpu.VMEM((geom.ch_per_step * geom.c_rows, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ] + [pltpu.VMEM((geom.sl_rows, LANES), jnp.float32)
+             for _ in range(5)],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=bitmap_join.VMEM_LIMIT),
+    )(row_d, own_d, rk_part, rp_part)
+
+
+def plan_tables_build(r_key, r_pay, lo: int, hi: int, part_bits: int,
+                      shift: int, slice_rows: int, interpret: bool = False,
+                      chunk_rows: int = bitmap_join.CHUNK_ROWS):
+    """Pallas count/paysum build plan: (build_from, rk_in, rp_in, bgeom)."""
+    pgeom = radix_ops.RadixGeom(chunk_rows=chunk_rows, part_bits=part_bits,
+                                lo=lo, hi=hi, shift=shift)
+    chunk = chunk_rows * LANES
+    rk_in = radix_ops._chunk_pad(r_key, chunk)
+    rp_in = radix_ops._chunk_pad(r_pay, chunk)
+    nchunks = rk_in.shape[0] // chunk
+    _, _, rstarts = jax.jit(lambda k, p: radix_ops.partition_pass_kv(
+        k, p, interpret=interpret, geom=pgeom))(rk_in, rp_in)
+    F = 1 << part_bits
+    st = np.asarray(rstarts).reshape(nchunks, -1)[:, :F + 1].astype(np.int64)
+    max_run = int((st[:, 1:] - st[:, :-1]).max()) if nchunks else 1
+    bgeom = bitmap_join._probe_geom(part_bits, shift, slice_rows, lo,
+                                    chunk_rows, nchunks, max_run)
+
+    def build_from(rk, rp, chain):
+        rkp, rpp, rst = radix_ops.partition_pass_kv(
+            rk + chain * 0, rp, interpret=interpret, geom=pgeom)
+        rd, od = bitmap_join.derive_descs(
+            rst.reshape(nchunks, -1, LANES), bgeom)
+        return build_tables_pallas(rkp, rpp, rd, od, bgeom,
+                                   interpret=interpret)
+
+    return build_from, rk_in, rp_in, bgeom
+
+
+def _probe_kernel_for(geom: bitmap_join.ProbeGeom, with_spay: bool = True):
     sl_rows = geom.sl_rows            # slice rows (words per 128 lanes)
     c_rows = geom.c_rows
     ch = geom.ch_per_step
@@ -89,8 +260,13 @@ def _probe_kernel_for(geom: bitmap_join.ProbeGeom):
     shift = geom.shift
     local_mask = (1 << shift) - 1
 
-    def kern(row_d, own_d, cnt_ref, pay_ref, s_ref, sp_ref,
-             out_c, out_r, out_s, sbuf, pbuf, sem, accc, accr, accs):
+    def kern(row_d, own_d, cnt_ref, pay_ref, *rest):
+        if with_spay:
+            (s_ref, sp_ref, out_c, out_r, out_s,
+             sbuf, pbuf, sem, accc, accr, accs) = rest
+        else:
+            (s_ref, out_c, out_r, out_s,
+             sbuf, sem, accc, accr) = rest
         g = pl.program_id(0)
         ng = pl.num_programs(0)
         b = g // (ngroups * nt)
@@ -100,28 +276,30 @@ def _probe_kernel_for(geom: bitmap_join.ProbeGeom):
         def _():
             accc[:] = jnp.zeros_like(accc)
             accr[:] = jnp.zeros_like(accr)
-            accs[:] = jnp.zeros_like(accs)
+            if with_spay:
+                accs[:] = jnp.zeros_like(accs)
 
         nlive = jnp.minimum(nchunks - gi * ch, ch)
-        copies = []
         for t in range(ch):
             @pl.when(t < nlive)
             def _():
                 pltpu.make_async_copy(
                     s_ref.at[pl.ds(row_d[0, 0, t], c_rows), :],
                     sbuf.at[pl.ds(t * c_rows, c_rows), :], sem).start()
-                pltpu.make_async_copy(
-                    sp_ref.at[pl.ds(row_d[0, 0, t], c_rows), :],
-                    pbuf.at[pl.ds(t * c_rows, c_rows), :], sem).start()
+                if with_spay:
+                    pltpu.make_async_copy(
+                        sp_ref.at[pl.ds(row_d[0, 0, t], c_rows), :],
+                        pbuf.at[pl.ds(t * c_rows, c_rows), :], sem).start()
         for t in range(ch):
             @pl.when(t < nlive)
             def _():
                 pltpu.make_async_copy(
                     s_ref.at[pl.ds(row_d[0, 0, t], c_rows), :],
                     sbuf.at[pl.ds(t * c_rows, c_rows), :], sem).wait()
-                pltpu.make_async_copy(
-                    sp_ref.at[pl.ds(row_d[0, 0, t], c_rows), :],
-                    pbuf.at[pl.ds(t * c_rows, c_rows), :], sem).wait()
+                if with_spay:
+                    pltpu.make_async_copy(
+                        sp_ref.at[pl.ds(row_d[0, 0, t], c_rows), :],
+                        pbuf.at[pl.ds(t * c_rows, c_rows), :], sem).wait()
 
         cnt_sl = cnt_ref[:]
         pay_sl = pay_ref[:]
@@ -132,7 +310,6 @@ def _probe_kernel_for(geom: bitmap_join.ProbeGeom):
             t = u // (c_rows // 8)
             r = pl.multiple_of(u * 8, 8)
             k = sbuf[pl.ds(r, 8), :]
-            sp = pbuf[pl.ds(r, 8), :]
             norm = k - jnp.int32(lo)
             abs_row = row_d[0, 0, t] + (r - t * c_rows) + row_iota
             owned = (abs_row >= own_d[0, 0, t]) \
@@ -156,7 +333,9 @@ def _probe_kernel_for(geom: bitmap_join.ProbeGeom):
             cv = jnp.where(ok, cv, 0)
             accc[:] += cv
             accr[:] += jnp.where(ok, pv, 0)
-            accs[:] += sp * cv           # mod 2^32
+            if with_spay:
+                sp = pbuf[pl.ds(r, 8), :]
+                accs[:] += sp * cv           # mod 2^32
             return 0
 
         jax.lax.fori_loop(0, live_rows // 8, sub, 0)
@@ -165,12 +344,13 @@ def _probe_kernel_for(geom: bitmap_join.ProbeGeom):
         def _():
             out_c[0, 0] = jnp.sum(accc[:])
             out_r[0, 0] = jnp.sum(accr[:])
-            out_s[0, 0] = jnp.sum(accs[:])
+            out_s[0, 0] = jnp.sum(accs[:]) if with_spay else 0
     return kern
 
 
 def probe_count_sums(cnt_tbl, pay_tbl, s_part, sp_part, row_d, own_d,
                      geom: bitmap_join.ProbeGeom, interpret: bool = False):
+    """Probe with S payloads routed: (count, r_checksum, s_checksum)."""
     gnt = geom.ngroups * geom.ntiles
     blk_slice = pl.BlockSpec(
         (geom.sl_rows, LANES),
@@ -178,32 +358,34 @@ def probe_count_sums(cnt_tbl, pay_tbl, s_part, sp_part, row_d, own_d,
         memory_space=pltpu.VMEM)
     smem_desc = pl.BlockSpec((1, 1, geom.ch_per_step), lambda g: (g, 0, 0),
                              memory_space=pltpu.SMEM)
+    with_spay = sp_part is not None
+    in_specs = [smem_desc, smem_desc, blk_slice, blk_slice,
+                pl.BlockSpec(memory_space=pl.ANY)]
+    args = [row_d, own_d, cnt_tbl, pay_tbl, s_part]
+    scratch = [pltpu.VMEM((geom.ch_per_step * geom.c_rows, LANES),
+                          jnp.int32)]
+    if with_spay:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        args.append(sp_part)
+        scratch.append(pltpu.VMEM((geom.ch_per_step * geom.c_rows, LANES),
+                                  jnp.int32))
+    scratch.append(pltpu.SemaphoreType.DMA)
+    scratch += [pltpu.VMEM((8, LANES), jnp.int32)
+                for _ in range(3 if with_spay else 2)]
     outs = pl.pallas_call(
-        _probe_kernel_for(geom),
+        _probe_kernel_for(geom, with_spay=with_spay),
         grid=(geom.grid,),
-        in_specs=[
-            smem_desc, smem_desc,
-            blk_slice, blk_slice,
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=tuple(pl.BlockSpec(memory_space=pltpu.SMEM)
                         for _ in range(3)),
         out_shape=tuple(jax.ShapeDtypeStruct((1, 1), jnp.int32)
                         for _ in range(3)),
-        scratch_shapes=[
-            pltpu.VMEM((geom.ch_per_step * geom.c_rows, LANES), jnp.int32),
-            pltpu.VMEM((geom.ch_per_step * geom.c_rows, LANES), jnp.int32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.VMEM((8, LANES), jnp.int32),
-            pltpu.VMEM((8, LANES), jnp.int32),
-            pltpu.VMEM((8, LANES), jnp.int32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             has_side_effects=True,
             vmem_limit_bytes=bitmap_join.VMEM_LIMIT),
-    )(row_d, own_d, cnt_tbl, pay_tbl, s_part, sp_part)
+    )(*args)
     c, r, s = outs
     return c[0, 0], r[0, 0], s[0, 0]
 
@@ -216,15 +398,22 @@ class PrhoPlan:
     s_tuples: int
     build_usec: float
     geom: bitmap_join.ProbeGeom
+    full_fn: "callable" = None  # chain -> (count, sums) incl. R build
+    build_scalar_fn: "callable" = None
+    chain_fn: "callable" = None  # reps -> count of last chained full run
 
-    def count3(self, chain=0):
-        c, r, s = self.count_fn(jnp.int32(chain))
+    def count3(self, chain=0, full: bool = False):
+        fn = self.full_fn if (full and self.full_fn is not None) \
+            else self.count_fn
+        c, r, s = fn(jnp.int32(chain))
         return int(c), int(np.uint32(int(r) & 0xFFFFFFFF)), int(
             np.uint32(int(s) & 0xFFFFFFFF))
 
+    chained_count = bitmap_join.RadixJoinPlan.chained_count
     _time = bitmap_join.RadixJoinPlan._time
     time_partition = bitmap_join.RadixJoinPlan.time_partition
     time_probe = bitmap_join.RadixJoinPlan.time_probe
+    time_build = bitmap_join.RadixJoinPlan.time_build
 
 
 def plan_prho_join(r_key, r_pay, s_key, s_pay, lo: int, hi: int,
@@ -244,11 +433,34 @@ def plan_prho_join(r_key, r_pay, s_key, s_pay, lo: int, hi: int,
                                 lo=lo, hi=hi, shift=shift)
     chunk = chunk_rows * LANES
 
+    # R-side build: Pallas partition + MXU count/paysum deposit
+    build_from, rk_in, rp_in, _ = plan_tables_build(
+        r_key, r_pay, lo, hi, part_bits, shift, slice_rows,
+        interpret=interpret, chunk_rows=chunk_rows)
+    build_jit = jax.jit(build_from)
+    build_scalar = jax.jit(
+        lambda rk, rp, chain: build_from(rk, rp, chain)[0][-1, -1]
+        + chain * 0)
     t0 = time.perf_counter()
-    cnt_tbl, pay_tbl = jax.jit(lambda rk, rp: build_tables(
-        rk, rp, lo, hi, part_bits, shift, slice_rows))(r_key, r_pay)
-    cnt_tbl = jax.block_until_ready(cnt_tbl)
-    build_usec = (time.perf_counter() - t0) * 1e6
+    cnt_tbl, pay_tbl = jax.block_until_ready(
+        build_jit(rk_in, rp_in, jnp.int32(0)))
+    build_wall = (time.perf_counter() - t0) * 1e6
+    # exactness guard: the 8-bit-limb f32 deposit is exact while per-slot
+    # multiplicity keeps limb sums < 2^24 (one plan-time sync)
+    if int(jax.jit(jnp.max)(cnt_tbl)) >= 65000:
+        return None
+    if interpret:
+        build_usec = max(build_wall, 1.0)
+        build_scalar_fn = None
+    else:
+        floor = bitmap_join.dispatch_floor_usec()
+        int(build_scalar(rk_in, rp_in, jnp.int32(1)))
+        t0 = time.perf_counter()
+        int(build_scalar(rk_in, rp_in, jnp.int32(2)))
+        raw = (time.perf_counter() - t0) * 1e6
+        build_usec = max(raw - floor, 0.2 * raw)
+        build_scalar_fn = (lambda rk=rk_in, rp=rp_in:
+                           (lambda c: build_scalar(rk, rp, c)))()
 
     part = jax.jit(lambda sk, sp, chain: radix_ops.partition_pass_kv(
         sk + chain * 0, sp, interpret=interpret, geom=pgeom))
@@ -275,7 +487,24 @@ def plan_prho_join(r_key, r_pay, s_key, s_pay, lo: int, hi: int,
         return probe_count_sums(cnt_tbl, pay_tbl, s2, p2, rd, od, geom,
                                 interpret=interpret)
 
+    def full_from(rk, rp, sk, sp, chain):
+        ct, pt = build_from(rk, rp, chain)
+        s2, p2, stt = part(sk, sp, chain)
+        rd, od = bitmap_join.derive_descs(stt.reshape(nchunks, -1, LANES),
+                                          geom)
+        return probe_count_sums(ct, pt, s2, p2, rd, od, geom,
+                                interpret=interpret)
+
     count_jit = jax.jit(count_from)
+    full_jit = jax.jit(full_from)
+
+    def chain_from(rk, rp, sk, sp, reps):
+        def body(i, acc):
+            return full_from(rk, rp, sk, sp, i + acc * 0)[0]
+        return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+
+    chain_jit = jax.jit(chain_from)
+    jax.block_until_ready(full_jit(rk_in, rp_in, sk_in, sp_in, jnp.int32(0)))
     jax.block_until_ready(count_jit(sk_in, sp_in, jnp.int32(0)))
     rd0 = jax.jit(lambda s: bitmap_join.derive_descs(
         s.reshape(nchunks, -1, LANES), geom))(starts)
@@ -290,4 +519,114 @@ def plan_prho_join(r_key, r_pay, s_key, s_pay, lo: int, hi: int,
         part_fn=part_scalar,
         probe_fn=probe_jit,
         s_tuples=int(s_key.shape[0]),
-        build_usec=build_usec, geom=geom)
+        build_usec=build_usec, geom=geom,
+        full_fn=lambda c: full_jit(rk_in, rp_in, sk_in, sp_in, c),
+        build_scalar_fn=build_scalar_fn,
+        chain_fn=lambda n: chain_jit(rk_in, rp_in, sk_in, sp_in, n))
+
+
+def plan_prh_join(r_key, r_pay, s_key, lo: int, hi: int,
+                  interpret: bool = False,
+                  chunk_rows: int = bitmap_join.CHUNK_ROWS,
+                  num_radix_bits: Optional[int] = None):
+    """PRH plan: histogram re-order join, keys-only probe side.
+
+    The reference's PRH (histogram_join, parallel_radix_join.c:347-436)
+    re-orders each partition via a histogram then probes with a scalar
+    loop; PRHO is the same layout with a SIMD probe.  On TPU both probes
+    become the same vectorized gather ladder (SURVEY §7 step 5 predicts
+    the collapse), so PRH shares PRHO's count/paysum-table engine but
+    routes ONLY keys through the S partition (the reference's PRH moves
+    whole tuples, but its TPU cost profile is keys-only: the probe needs
+    no S payload because the S checksum is not accumulated on this tier).
+    Returns (count, r_checksum, 0).  Non-unique R supported.
+    """
+    if interpret:
+        chunk_rows = min(chunk_rows, 1024)
+    part_bits, shift, slice_rows = plan_geometry_counts(lo, hi,
+                                                        num_radix_bits)
+    pgeom = radix_ops.RadixGeom(chunk_rows=chunk_rows, part_bits=part_bits,
+                                lo=lo, hi=hi, shift=shift)
+    chunk = chunk_rows * LANES
+
+    build_from, rk_in, rp_in, _ = plan_tables_build(
+        r_key, r_pay, lo, hi, part_bits, shift, slice_rows,
+        interpret=interpret, chunk_rows=chunk_rows)
+    build_jit = jax.jit(build_from)
+    build_scalar = jax.jit(
+        lambda rk, rp, chain: build_from(rk, rp, chain)[0][-1, -1]
+        + chain * 0)
+    t0 = time.perf_counter()
+    cnt_tbl, pay_tbl = jax.block_until_ready(
+        build_jit(rk_in, rp_in, jnp.int32(0)))
+    build_wall = (time.perf_counter() - t0) * 1e6
+    if int(jax.jit(jnp.max)(cnt_tbl)) >= 65000:
+        return None
+    if interpret:
+        build_usec = max(build_wall, 1.0)
+        build_scalar_fn = None
+    else:
+        floor = bitmap_join.dispatch_floor_usec()
+        int(build_scalar(rk_in, rp_in, jnp.int32(1)))
+        t0 = time.perf_counter()
+        int(build_scalar(rk_in, rp_in, jnp.int32(2)))
+        raw = (time.perf_counter() - t0) * 1e6
+        build_usec = max(raw - floor, 0.2 * raw)
+        build_scalar_fn = (lambda rk=rk_in, rp=rp_in:
+                           (lambda c: build_scalar(rk, rp, c)))()
+
+    part = jax.jit(lambda sk, chain: radix_ops.partition_pass(
+        sk + chain * 0, interpret=interpret, geom=pgeom))
+    sk_in = radix_ops._chunk_pad(s_key, chunk)
+    nchunks = sk_in.shape[0] // chunk
+    s_part, starts = part(sk_in, jnp.int32(0))
+
+    F = 1 << part_bits
+    st = np.asarray(starts).reshape(nchunks, -1)[:, :F + 1].astype(np.int64)
+    max_run = int((st[:, 1:] - st[:, :-1]).max()) if nchunks else 1
+    geom = bitmap_join._probe_geom(part_bits, shift, slice_rows, lo,
+                                   chunk_rows, nchunks, max_run)
+
+    def count_from(sk, chain):
+        s2, stt = part(sk, chain)
+        rd, od = bitmap_join.derive_descs(stt.reshape(nchunks, -1, LANES),
+                                          geom)
+        return probe_count_sums(cnt_tbl, pay_tbl, s2, None, rd, od, geom,
+                                interpret=interpret)
+
+    def full_from(rk, rp, sk, chain):
+        ct, pt = build_from(rk, rp, chain)
+        s2, stt = part(sk, chain)
+        rd, od = bitmap_join.derive_descs(stt.reshape(nchunks, -1, LANES),
+                                          geom)
+        return probe_count_sums(ct, pt, s2, None, rd, od, geom,
+                                interpret=interpret)
+
+    count_jit = jax.jit(count_from)
+    full_jit = jax.jit(full_from)
+
+    def chain_from(rk, rp, sk, reps):
+        def body(i, acc):
+            return full_from(rk, rp, sk, i + acc * 0)[0]
+        return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+
+    chain_jit = jax.jit(chain_from)
+    jax.block_until_ready(full_jit(rk_in, rp_in, sk_in, jnp.int32(0)))
+    jax.block_until_ready(count_jit(sk_in, jnp.int32(0)))
+    rd0 = jax.jit(lambda s: bitmap_join.derive_descs(
+        s.reshape(nchunks, -1, LANES), geom))(starts)
+    probe_jit = jax.jit(lambda chain: probe_count_sums(
+        cnt_tbl, pay_tbl, s_part + chain * 0, None, rd0[0], rd0[1], geom,
+        interpret=interpret)[0])
+    part_scalar = jax.jit(lambda chain: part(
+        sk_in, chain)[0].ravel()[-1].astype(jnp.int32))
+
+    return PrhoPlan(
+        count_fn=lambda c: count_jit(sk_in, c),
+        part_fn=part_scalar,
+        probe_fn=probe_jit,
+        s_tuples=int(s_key.shape[0]),
+        build_usec=build_usec, geom=geom,
+        full_fn=lambda c: full_jit(rk_in, rp_in, sk_in, c),
+        build_scalar_fn=build_scalar_fn,
+        chain_fn=lambda n: chain_jit(rk_in, rp_in, sk_in, n))

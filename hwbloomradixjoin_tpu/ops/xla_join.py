@@ -204,3 +204,123 @@ def csr_hash_join_count(r_key, r_pay, s_key, s_pay, bits: int | None = None,
         sum_sp = sum_sp + jnp.sum(jnp.where(hit, U.u32(s_pay), jnp.uint32(0)),
                                   dtype=jnp.uint32)
     return cnt, sum_rp, sum_sp, overflow
+
+
+def _awc(a, b):
+    """Associative add-with-carry on (hi, lo) uint32 pairs = 64-bit add."""
+    ah, al = a
+    bh, bl = b
+    lo = al + bl
+    carry = (lo < bl).astype(jnp.uint32)
+    return ah + bh + carry, lo
+
+
+def _sub64(ah, al, bh, bl):
+    lo = al - bl
+    borrow = (al < bl).astype(jnp.uint32)
+    return ah - bh - borrow, lo
+
+
+def _sum64(hi, lo):
+    """Sum of (hi, lo) uint32 pair vectors mod 2^64 (associative scan)."""
+    h, l = jax.lax.associative_scan(_awc, (hi, lo))
+    return h[-1], l[-1]
+
+
+def sort_scan_count_wide64(r_khi, r_klo, r_phi, r_plo,
+                           s_khi, s_klo, s_phi, s_plo):
+    """64-bit keys AND 64-bit payloads: count + both checksums mod 2^64.
+
+    Completes KEY_8B parity: the reference widens value_t to int64 along
+    with intkey_t (src/types.h:22-28), so checksums accumulate mod 2^64.
+    All 64-bit arithmetic rides (hi, lo) uint32 pairs (ops/u32.py) — jax
+    x64 stays off (TPU has no native int64 lanes).
+    Returns (count, (sum_rpay_hi, sum_rpay_lo), (sum_spay_hi, sum_spay_lo)).
+    """
+    nr = r_klo.shape[0]
+    ns = s_klo.shape[0]
+    flip = jnp.int32(-2147483648)
+    khi = jnp.concatenate([r_khi, s_khi])
+    klo = jnp.concatenate([r_klo, s_klo]) ^ flip
+    tag = jnp.concatenate([jnp.zeros(nr, jnp.int32), jnp.ones(ns, jnp.int32)])
+    phi = jnp.concatenate([r_phi, s_phi])
+    plo = jnp.concatenate([r_plo, s_plo])
+    khi, klo, tag, phi, plo = jax.lax.sort((khi, klo, tag, phi, plo),
+                                           num_keys=3)
+
+    n = nr + ns
+    is_r = tag == 0
+    boundary = jnp.concatenate(
+        [jnp.ones(1, bool), (khi[1:] != khi[:-1]) | (klo[1:] != klo[:-1])])
+    idx = jnp.arange(n, dtype=jnp.int32)
+    seg_start = jax.lax.cummax(jnp.where(boundary, idx, jnp.int32(-1)))
+
+    r_flag = is_r.astype(jnp.uint32)
+    r_pref = jnp.cumsum(r_flag, dtype=jnp.uint32) - r_flag
+    r_in_seg = r_pref - r_pref[seg_start]
+    s_rows = ~is_r
+
+    # 64-bit prefix of R payloads (exclusive), then per-segment delta
+    rp_hi = jnp.where(is_r, U.u32(phi), jnp.uint32(0))
+    rp_lo = jnp.where(is_r, U.u32(plo), jnp.uint32(0))
+    pr_hi, pr_lo = jax.lax.associative_scan(_awc, (rp_hi, rp_lo))
+    pr_hi, pr_lo = _sub64(pr_hi, pr_lo, rp_hi, rp_lo)      # exclusive
+    d_hi, d_lo = _sub64(pr_hi, pr_lo, pr_hi[seg_start], pr_lo[seg_start])
+
+    count = jnp.sum(jnp.where(s_rows, r_in_seg, 0).astype(jnp.int32))
+    sum_r = _sum64(jnp.where(s_rows, d_hi, jnp.uint32(0)),
+                   jnp.where(s_rows, d_lo, jnp.uint32(0)))
+
+    # S checksum: s_pay (64-bit) * match count, mod 2^64
+    c = jnp.where(s_rows, r_in_seg, jnp.uint32(0))
+    sp_lo_c = U.mul_lo(U.u32(plo), c)
+    sp_hi_c = U.mul_hi(U.u32(plo), c) + U.mul_lo(U.u32(phi), c)
+    sum_s = _sum64(sp_hi_c, sp_lo_c)
+    return count, sum_r, sum_s
+
+
+def sort_scan_materialize_wide(r_khi, r_klo, r_phi, r_plo,
+                               s_khi, s_klo, s_phi, s_plo):
+    """Materialized KEY_8B join (unique 64-bit R keys).
+
+    Returns (count, r_pay (hi, lo), s_pay (hi, lo), key (hi, lo)) —
+    capacity-|S| columns with `count` valid rows, like
+    sort_scan_materialize but over (hi, lo) pairs.
+    """
+    nr = r_klo.shape[0]
+    ns = s_klo.shape[0]
+    n = nr + ns
+    flip = jnp.int32(-2147483648)
+    khi = jnp.concatenate([r_khi, s_khi])
+    klo = jnp.concatenate([r_klo, s_klo]) ^ flip
+    tag = jnp.concatenate([jnp.zeros(nr, jnp.int32), jnp.ones(ns, jnp.int32)])
+    phi = jnp.concatenate([r_phi, s_phi])
+    plo = jnp.concatenate([r_plo, s_plo])
+    khi, klo, tag, phi, plo = jax.lax.sort((khi, klo, tag, phi, plo),
+                                           num_keys=3)
+
+    is_r = tag == 0
+    boundary = jnp.concatenate(
+        [jnp.ones(1, bool), (khi[1:] != khi[:-1]) | (klo[1:] != klo[:-1])])
+    idx = jnp.arange(n, dtype=jnp.int32)
+    seg_start = jax.lax.cummax(jnp.where(boundary, idx, jnp.int32(-1)))
+    r_flag = is_r.astype(jnp.int32)
+    r_pref = jnp.cumsum(r_flag) - r_flag
+    r_in_seg = r_pref - r_pref[seg_start]
+    head_phi = phi[seg_start]
+    head_plo = plo[seg_start]
+    matched = (~is_r) & (r_in_seg == 1)
+    count = jnp.sum(matched, dtype=jnp.int32)
+
+    order = jnp.where(matched, idx, idx + n)
+    PADI = jnp.int32(-2147483648)
+    _, orh, orl, osh, osl, okh, okl = jax.lax.sort(
+        (order,
+         jnp.where(matched, head_phi, 0),
+         jnp.where(matched, head_plo, 0),
+         jnp.where(matched, phi, 0),
+         jnp.where(matched, plo, 0),
+         jnp.where(matched, khi, PADI),
+         jnp.where(matched, klo ^ flip, PADI)), num_keys=1)
+    return (count, (orh[:ns], orl[:ns]), (osh[:ns], osl[:ns]),
+            (okh[:ns], okl[:ns]))

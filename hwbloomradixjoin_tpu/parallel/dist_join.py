@@ -188,5 +188,17 @@ def dist_join_count(mesh, rk, rp, sk, sp,
         out_specs=(P(), P(), P(), P(), P()),
     )
     sh = NamedSharding(mesh, P(AXIS))
-    args = [jax.device_put(a, sh) for a in (rk, rp, sk, sp)]
+
+    def put(a):
+        if jax.process_count() > 1:
+            # multi-host: every process holds the (deterministically
+            # generated) full array; each materializes only its
+            # addressable shards (jax.distributed path, tools/dist_multiproc)
+            import numpy as np
+            a = np.asarray(a)
+            return jax.make_array_from_callback(
+                a.shape, sh, lambda idx: a[idx])
+        return jax.device_put(a, sh)
+
+    args = [put(a) for a in (rk, rp, sk, sp)]
     return step(*args)

@@ -63,6 +63,9 @@ class Relation:
     # KEY_8B mode (src/types.h:22-28): 64-bit keys ride as two int32 columns
     # (key = high word, carried here; `key` holds the low word).  None = 32-bit.
     key_hi: Optional[jax.Array] = None
+    # KEY_8B also widens value_t to int64 (src/types.h:22-28): the payload's
+    # high word rides here (payload holds the low word); None = 32-bit.
+    payload_hi: Optional[jax.Array] = None
     # dynamic number of valid tuples (scalar array); tuples beyond are padding
     num_valid: Optional[jax.Array] = None
     # static declared key constraints (not traced)
@@ -101,20 +104,27 @@ class Relation:
         """
         if payload is None:
             payload = np.arange(key.shape[0], dtype=np.int32)
+        phi = None
         if key8b:
             k64 = np.asarray(key, dtype=np.int64)
             k = jnp.asarray((k64 & 0xFFFFFFFF).astype(np.uint32).view(np.int32))
             khi = jnp.asarray((k64 >> 32).astype(np.int32))
+            p64 = np.asarray(payload, dtype=np.int64)
+            p = jnp.asarray((p64 & 0xFFFFFFFF).astype(np.uint32).view(np.int32))
+            phi = jnp.asarray((p64 >> 32).astype(np.int32))
         else:
             k = jnp.asarray(key)
             khi = None
-        p = jnp.asarray(payload)
+            p = jnp.asarray(payload)
         if device is not None:
             k = jax.device_put(k, device)
             p = jax.device_put(p, device)
             if khi is not None:
                 khi = jax.device_put(khi, device)
-        return Relation(key=k, payload=p, key_hi=khi, stats=stats)
+            if phi is not None:
+                phi = jax.device_put(phi, device)
+        return Relation(key=k, payload=p, key_hi=khi, payload_hi=phi,
+                        stats=stats)
 
     def to_numpy(self):
         n = self.key.shape[0] if self.num_valid is None else int(self.num_valid)

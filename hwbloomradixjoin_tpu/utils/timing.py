@@ -30,6 +30,12 @@ class JoinStats:
     s_after_filter: int | None = None
     compile_usec: float = 0.0
     tier: str = ""                 # execution tier chosen by the planner
+    # measurement audit trail: total_usec = raw wall time of the best
+    # repeat minus the measured per-dispatch transport floor (clamped to
+    # 80% subtraction); both inputs are reported so the adjustment is
+    # visible (0 floor => total_usec IS the raw wall time)
+    raw_total_usec: float = 0.0
+    floor_usec: float = 0.0
 
     @property
     def nsec_per_tuple(self) -> float:

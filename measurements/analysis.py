@@ -73,6 +73,67 @@ def brj_superiority(df):
     return float((d["speedup"] > 1.0).mean())
 
 
+def best_config_table(df, group_cols=("selectivity",), 
+                      metric="nsec-per-tuple"):
+    """Best configuration per workload group (the reference analysis.py's
+    best-config tables by (q, ratio, k) — the thesis's 'which filter
+    settings win where' question)."""
+    import pandas as pd
+
+    d = df.dropna(subset=[metric])
+    cols = [c for c in group_cols if c in d.columns]
+    if not cols or len(d) == 0:
+        return None
+    idx = d.groupby(cols)[metric].idxmin()
+    keep = [c for c in (*cols, "algorithm", "bloom_filter", "bloom_hashes",
+                        "radix_bits", "passes", metric, "filtered-pct",
+                        "speedup") if c in d.columns]
+    return d.loc[idx, keep].reset_index(drop=True)
+
+
+def footprint_breakdown(df, metric="nsec-per-tuple"):
+    """Per-footprint-class aggregation (reference classifies workloads by
+    cache footprint S/M/L, analysis.py:107-123; VMEM plays that role)."""
+    if "footprint" not in df or metric not in df:
+        return None
+    g = df.dropna(subset=[metric]).groupby("footprint")[metric]
+    out = g.agg(["count", "min", "mean", "max"]).reset_index()
+    out.columns = ["footprint", "configs", f"best {metric}",
+                   f"mean {metric}", f"worst {metric}"]
+    return out
+
+
+def fpr_plot(df, out_png: str):
+    """Empirical vs theoretical FPR by k FROM SWEEP ROWS (the reference's
+    bloom_filter_fpr plot family, analysis.py:126-180) — complements the
+    standalone golden-table curve with measured engine rows."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return None
+    d = df.dropna(subset=["fpr_emp", "fpr_theo"])
+    if len(d) == 0:
+        return None
+    fig, ax = plt.subplots(figsize=(5, 3.4))
+    for variant, dd in d.groupby("bloom_filter"):
+        dd = dd.sort_values("bloom_hashes")
+        ax.plot(dd["bloom_hashes"], dd["fpr_emp"] * 100, "o-",
+                label=f"{variant} (empirical)")
+    dd = d.sort_values("bloom_hashes").drop_duplicates("bloom_hashes")
+    ax.plot(dd["bloom_hashes"], dd["fpr_theo"] * 100, "k--",
+            label="theoretical")
+    ax.set_xlabel("k (hash functions)")
+    ax.set_ylabel("FPR [%]")
+    ax.legend(fontsize=7)
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=150)
+    plt.close(fig)
+    print(f"wrote {out_png}")
+    return out_png
+
+
 def analyze(path: str):
     import pandas as pd
 
@@ -93,6 +154,16 @@ def analyze(path: str):
         f.write(df[cols].to_markdown(index=False))
         if sup is not None:
             f.write(f"\n\nbloom-superiority fraction: {sup:.3f}\n")
+        bc = best_config_table(df, group_cols=("selectivity", "ratio", "q"))
+        if bc is not None and len(bc):
+            f.write("\n\n## best config per workload group\n\n")
+            f.write(bc.to_markdown(index=False))
+        fb = footprint_breakdown(df)
+        if fb is not None and len(fb) > 1:
+            f.write("\n\n## footprint classes (vs VMEM)\n\n")
+            f.write(fb.to_markdown(index=False))
+    if "fpr_emp" in df.columns:
+        fpr_plot(df, path.replace(".pkl", "_fpr.png"))
     print(f"wrote {out}")
     return df
 

@@ -40,6 +40,7 @@ class JoinConfig:
     no_dense: bool = False            # disable the dense-PK planner shortcut
     backend: str = "auto"
     repeats: int = 1
+    inner: int = 1                    # in-jit chained repeats (--engine-inner)
     devices: int = 0                  # dist mesh size (0 = local engine)
     passes: int = 1                   # radix passes (--engine-passes)
 
@@ -76,6 +77,8 @@ class JoinConfig:
             args += ["--engine-backend", self.backend]
         if self.repeats > 1:
             args += ["--engine-repeats", str(self.repeats)]
+        if self.inner > 1:
+            args += ["--engine-inner", str(self.inner)]
         return args
 
     def cmdline(self) -> str:

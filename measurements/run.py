@@ -116,27 +116,55 @@ def sweep_quick(backend="cpu"):
     return save_data(rows, "quick")
 
 
-def sweep_bloom(backend="auto", r_size=1_000_000, s_size=8_000_000):
-    """best_bloom_filter_type parity: basic vs blocked x k (run.py:272)."""
+def sweep_bloom(backend="auto", r_size=1_000_000, s_size=8_000_000,
+                m=None, inner=4):
+    """best_bloom_filter_type parity: basic vs blocked x k (run.py:272).
+
+    Includes a no-bloom PRO row as the comparison base (the thesis
+    question is bloom's *speedup over the plain join*).  Default m
+    scales with |R| (reference uses m=2^30 at the 128M flagship; the
+    blocked flagship geometry takes the 2-pass Pallas hash-partition
+    tier, ops/bloom_pallas.plan_bloom_prune_2pass).
+    """
+    if m is None:
+        m = 1 << min(max((r_size * 8 - 1).bit_length(), 20), 30)
     rows = []
-    for variant, k in itertools.product(("basic", "blocked"), (1, 2, 4, 8)):
+    base = JoinConfig(algorithm="PRO", r_size=r_size, s_size=s_size,
+                      selectivity=0.01, no_dense=True, inner=inner,
+                      backend=backend)
+    row = run_one(base, timeout=7200)
+    row["bloom"], row["k"] = "no", 0
+    rows.append(row)
+    save_data(rows, "bloom_filter_type")
+    for variant, k in itertools.product(("blocked", "basic"), (1, 2, 4, 8)):
         cfg = JoinConfig(algorithm="PRO", r_size=r_size, s_size=s_size,
                          selectivity=0.01, bloom_filter=variant,
-                         bloom_size=1 << 26, bloom_hashes=k,
-                         backend=backend)
-        rows.append(run_one(cfg))
+                         bloom_size=m, bloom_hashes=k, no_dense=True,
+                         inner=inner, backend=backend)
+        row = run_one(cfg, timeout=7200)
+        row["bloom"], row["k"] = variant, k
+        rows.append(row)
         save_data(rows, "bloom_filter_type")
     return save_data(rows, "bloom_filter_type")
 
 
-def sweep_params(backend="auto"):
-    """test_parameters parity: |R| x ratio x q (run.py:326), scaled to CI."""
+def sweep_params(backend="auto", inner=4, r_sizes=(250_000, 1_000_000)):
+    """test_parameters parity: |R| x ratio x q (run.py:326).
+
+    The reference's full grid also sweeps threads and bits/key; the
+    engine's thread axis is the device mesh (scaling sweep) and radix
+    bits have their own sweep, so the grid here is |R| x S:R x q.
+    """
     rows = []
     for r_size, ratio, q in itertools.product(
-            (250_000, 1_000_000), (1, 4, 8), (0.001, 0.01, 0.1)):
-        cfg = JoinConfig(algorithm="PRO", r_size=r_size,
-                         s_size=r_size * ratio, selectivity=q, backend=backend)
-        rows.append(run_one(cfg))
+            r_sizes, (1, 4, 8), (0.001, 0.01, 0.1)):
+        cfg = JoinConfig(algorithm="PRO", r_size=r_size, no_dense=True,
+                         s_size=r_size * ratio, selectivity=q,
+                         inner=inner, backend=backend)
+        row = run_one(cfg, timeout=7200)
+        row["ratio"], row["q"] = ratio, q
+        rows.append(row)
+        save_data(rows, "test_parameters")
     return save_data(rows, "test_parameters")
 
 
@@ -150,11 +178,12 @@ def sweep_radix_bits(backend="auto", r_size=1_000_000, s_size=8_000_000):
     """
     rows = []
     range_bits = max((r_size - 1).bit_length(), 12)
-    for bits in [None] + list(range(max(range_bits - 17, 0),
+    for bits in [None] + list(range(max(range_bits - 19, 0),
                                     max(range_bits - 12, 0) + 1)):
         cfg = JoinConfig(algorithm="PRO", r_size=r_size, s_size=s_size,
-                         radix_bits=bits, no_dense=True, backend=backend)
-        row = run_one(cfg)
+                         radix_bits=bits, no_dense=True, inner=4,
+                         backend=backend)
+        row = run_one(cfg, timeout=7200)
         row["radix-bits"] = -1 if bits is None else bits
         rows.append(row)
         save_data(rows, "radix_bits")   # incremental: partial data survives
@@ -179,8 +208,8 @@ def sweep_never_single_pass(backend="auto", r_size=1_000_000,
         cfg = JoinConfig(algorithm="PRO", r_size=r_size, s_size=s_size,
                          selectivity=0.01, radix_bits=bits, no_dense=True,
                          bloom_filter=variant, bloom_size=1 << 26,
-                         bloom_hashes=k, backend=backend)
-        row = run_one(cfg)
+                         bloom_hashes=k, inner=4, backend=backend)
+        row = run_one(cfg, timeout=7200)
         row["radix-bits"] = bits
         rows.append(row)
     return save_data(rows, "never_single_pass")
@@ -221,33 +250,63 @@ def sweep_passes(backend="auto", r_size=1_000_000, s_size=8_000_000):
     for passes in (1, 2):
         cfg = JoinConfig(algorithm="PRO", r_size=r_size, s_size=s_size,
                          radix_bits=bits, no_dense=True, passes=passes,
-                         backend=backend)
-        row = run_one(cfg)
+                         inner=4, backend=backend)
+        row = run_one(cfg, timeout=7200)
         row["passes"] = passes
         rows.append(row)
         save_data(rows, "passes")
     return save_data(rows, "passes")
 
 
-def sweep_algos(backend="auto", r_size=1_000_000, s_size=8_000_000):
+def sweep_algos(backend="auto", r_size=1_000_000, s_size=8_000_000,
+                inner=4):
     """Figure-11 analogue: PRO vs PRH vs PRHO (vs NPO), one workload.
 
     The reference's three-way build/probe-kernel comparison
     (base_results/figure11: 9.85 / 12.73 / 11.35 ns/tuple); here each name
-    runs a genuinely distinct engine (pallas_radix / sortscan /
-    pallas_prho / ht).
+    runs a genuinely distinct engine tier (pallas_radix / pallas_prh /
+    pallas_prho / pallas_npo — models/registry.py), timed with `inner`
+    chained in-jit repeats (no dispatch-floor subtraction at this scale).
     """
     rows = []
     for algo in ("PRO", "PRH", "PRHO", "NPO"):
         cfg = JoinConfig(algorithm=algo, r_size=r_size, s_size=s_size,
-                         no_dense=True, backend=backend, repeats=3)
-        row = run_one(cfg, timeout=2400)
+                         no_dense=True, backend=backend, inner=inner)
+        row = run_one(cfg, timeout=7200)
+        row["algo"] = algo
         rows.append(row)
         save_data(rows, "algos")
     return save_data(rows, "algos")
 
 
+def sweep_dist_bloom(r_size=1_000_000, s_size=8_000_000, devices=8):
+    """Distributed bloom: exchange-volume reduction from pre-shuffle prune.
+
+    The TPU-native bloom win (measurements/BLOOM_NOTES.md): S tuples
+    failing the filter never cross the interconnect.  Rows record the
+    survivor count and the implied shuffled-S bytes with/without filter.
+    """
+    rows = []
+    env = {"JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": f"--xla_force_host_platform_device_count={devices}"}
+    for variant, k in (("no", 0), ("blocked", 1), ("blocked", 4),
+                       ("basic", 1)):
+        cfg = JoinConfig(algorithm="PRO", r_size=r_size, s_size=s_size,
+                         selectivity=0.01, backend="cpu", devices=devices,
+                         bloom_filter=variant, bloom_hashes=max(k, 1),
+                         bloom_size=1 << 26, repeats=3)
+        row = run_one(cfg, env=env)
+        row["devices"] = devices
+        surv = row["filtered"] if row["filtered"] is not None else s_size
+        row["s-exchanged-bytes"] = surv * 8
+        row["exchange-reduction"] = s_size / max(surv, 1)
+        rows.append(row)
+        save_data(rows, "dist_bloom")
+    return save_data(rows, "dist_bloom")
+
+
 SWEEPS = {"quick": sweep_quick, "bloom": sweep_bloom, "params": sweep_params,
+          "dist_bloom": sweep_dist_bloom,
           "radix_bits": sweep_radix_bits,
           "never_single_pass": sweep_never_single_pass,
           "scaling": sweep_scaling, "passes": sweep_passes,
@@ -256,4 +315,13 @@ SWEEPS = {"quick": sweep_quick, "bloom": sweep_bloom, "params": sweep_params,
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "quick"
-    SWEEPS[which]()
+    kwargs = {}
+    for k, env in (("r_size", "HBRJ_SWEEP_R"), ("s_size", "HBRJ_SWEEP_S"),
+                   ("inner", "HBRJ_SWEEP_INNER"), ("m", "HBRJ_SWEEP_M")):
+        v = os.environ.get(env)
+        if v is not None:
+            kwargs[k] = int(v)
+    import inspect
+    sig = inspect.signature(SWEEPS[which])
+    kwargs = {k: v for k, v in kwargs.items() if k in sig.parameters}
+    SWEEPS[which](**kwargs)

@@ -71,7 +71,8 @@ def test_run_join_key8b():
     res, st, (sr, ss) = run_join("PRO", R, S, EngineConfig())
     assert st.tier == "key8b"
     assert res.count() == want[0]
-    assert sr == want[1] % 2**32 and ss == want[2] % 2**32
+    # KEY_8B widens value_t to int64 -> checksums accumulate mod 2^64
+    assert sr == want[1] % 2**64 and ss == want[2] % 2**64
 
 
 def test_run_join_materialize():
@@ -197,14 +198,50 @@ def test_key8b_bloom_low_word_truncation():
     assert want <= res.s_after_filter <= len(sk)
 
 
-def test_key8b_materialize_clear_error():
-    import pytest as _pytest
-
-    rk, rp, sk, sp = _workload(n_r=500, n_s=1000)
+def test_key8b_wide_payload_checksums():
+    """KEY_8B with payloads > 2^31: 64-bit checksum parity (mod 2^64)."""
+    rng = np.random.default_rng(21)
+    n_r, n_s = 2000, 9000
+    rk = rng.permutation(np.arange(1, n_r + 1)).astype(np.int64)
+    sk = rng.integers(1, 2 * n_r, n_s).astype(np.int64)
+    rp = rng.integers(2**31, 2**40, n_r).astype(np.int64)
+    sp = rng.integers(2**31, 2**40, n_s).astype(np.int64)
+    # numpy ground truth mod 2^64
+    match = np.isin(sk, rk)
+    pay_of = dict(zip(rk.tolist(), rp.tolist()))
+    want_sr = sum(pay_of[k] for k in sk[match].tolist()) % 2**64
+    want_ss = int(sp[match].astype(np.uint64).sum(dtype=np.uint64))
     R = Relation.from_numpy(rk, rp, key8b=True)
     S = Relation.from_numpy(sk, sp, key8b=True)
-    with _pytest.raises(NotImplementedError, match="key8b"):
-        run_join("PRO", R, S, EngineConfig(key8b=True, materialize=True))
+    res, st, (sr, ss) = run_join("PRO", R, S, EngineConfig(key8b=True))
+    assert st.tier == "key8b"
+    assert res.count() == int(match.sum())
+    assert sr == want_sr
+    assert ss == want_ss
+
+
+def test_key8b_materialize():
+    """KEY_8B + materialize: 64-bit rid pairs (was NotImplementedError)."""
+    rng = np.random.default_rng(22)
+    n_r, n_s = 800, 3000
+    rk = rng.permutation(np.arange(1, n_r + 1)).astype(np.int64)
+    sk = rng.integers(1, 2 * n_r, n_s).astype(np.int64)
+    rp = rng.integers(2**31, 2**40, n_r).astype(np.int64)
+    sp = rng.integers(2**31, 2**40, n_s).astype(np.int64)
+    R = Relation.from_numpy(rk, rp, key8b=True)
+    S = Relation.from_numpy(sk, sp, key8b=True)
+    res, st, _ = run_join("PRO", R, S,
+                          EngineConfig(key8b=True, materialize=True))
+    assert st.tier == "materialize8b"
+    match = np.isin(sk, rk)
+    n = res.count()
+    assert n == int(match.sum())
+    pay_of = dict(zip(rk.tolist(), rp.tolist()))
+    got = sorted(zip(np.asarray(res.r_payload)[:n].tolist(),
+                     np.asarray(res.s_payload)[:n].tolist()))
+    want = sorted((pay_of[k], p)
+                  for k, p in zip(sk[match].tolist(), sp[match].tolist()))
+    assert got == want
 
 
 def test_dense_tier_wide_span_no_crash():
@@ -255,3 +292,137 @@ def test_skewed_run_multi_tile_probe(monkeypatch):
     assert plan.geom.ntiles > 1
     want = int(np.isin(sk, rk).sum())
     assert plan.count() == want
+
+
+def test_pallas_build_matches_xla_bitmap():
+    """The MXU deposit build is bit-identical to the XLA scatter build,
+    across geometries, offsets and sparse key sets."""
+    import jax
+    import jax.numpy as jnp
+    from hwbloomradixjoin_tpu.ops import bitmap_join
+
+    rng = np.random.default_rng(5)
+    cases = [
+        # (keys, lo, hi, num_radix_bits)
+        (rng.permutation(np.arange(1, 5001)).astype(np.int32), 1, 5000, None),
+        (rng.permutation(np.arange(1, 5001)).astype(np.int32), 1, 5000, 2),
+        # sparse: 3000 distinct keys in a 200k span, offset lo
+        (rng.choice(np.arange(1000, 201000), 3000, replace=False)
+         .astype(np.int32), 1000, 200999, None),
+        # tiny range (range_bits floor=12, part_bits=0 -> single bucket)
+        (rng.permutation(np.arange(1, 300)).astype(np.int32), 1, 299, None),
+    ]
+    for keys, lo, hi, bits in cases:
+        pb, shift, slr = bitmap_join.plan_geometry(lo, hi, bits)
+        want = jax.jit(lambda k: bitmap_join.build_bitmap(
+            k, lo, hi, pb, shift, slr))(jnp.asarray(keys))
+        out = bitmap_join.plan_bitmap_build(
+            keys, lo, hi, pb, shift, slr, interpret=True)
+        assert out is not None
+        build_from, rk_in, _ = out
+        got = jax.jit(build_from)(rk_in, jnp.int32(0))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pallas_build_skewed_bucket_tiles(monkeypatch):
+    """R concentrated in one bucket: build windows span several tiles,
+    ownership masks keep the deposit exact (no double-set, no misses)."""
+    import jax
+    import jax.numpy as jnp
+    from hwbloomradixjoin_tpu.ops import bitmap_join
+
+    monkeypatch.setattr(bitmap_join, "C_ROWS_CAP", 16)
+    rng = np.random.default_rng(11)
+    # 90% of keys in the first bucket's range of a 17-bit-shift geometry
+    lo_keys = rng.choice(np.arange(1, 4000), 3500, replace=False)
+    hi_keys = rng.choice(np.arange(4000, 260000), 350, replace=False)
+    keys = np.concatenate([lo_keys, hi_keys]).astype(np.int32)
+    rng.shuffle(keys)
+    lo, hi = 1, 259999
+    pb, shift, slr = bitmap_join.plan_geometry(lo, hi)
+    want = jax.jit(lambda k: bitmap_join.build_bitmap(
+        k, lo, hi, pb, shift, slr))(jnp.asarray(keys))
+    build_from, rk_in, bgeom = bitmap_join.plan_bitmap_build(
+        keys, lo, hi, pb, shift, slr, interpret=True)
+    assert bgeom.ntiles > 1
+    got = jax.jit(build_from)(rk_in, jnp.int32(0))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_full_fn_includes_build_same_count():
+    """full_count (build+partition+probe fused) agrees with count()."""
+    import jax.numpy as jnp
+    from hwbloomradixjoin_tpu.ops import bitmap_join
+
+    rk, rp, sk, sp = _workload(n_r=3000, n_s=20000, hi_mult=2)
+    plan = bitmap_join.plan_radix_join(jnp.asarray(rk), jnp.asarray(sk),
+                                       1, 3000, interpret=True)
+    assert plan is not None and plan.full_fn is not None
+    want, _, _ = native.ref_join(rk, rp, sk, sp)
+    assert plan.full_count() == want
+    assert plan.count() == want
+
+
+def test_two_pass_skewed_falls_back(monkeypatch):
+    """ADVICE r3: a pass-1 bucket filling a whole chunk must not produce
+    negative gather windows — the 2-pass planner falls back (None) and
+    run_join still returns the exact count via the 1-pass engine."""
+    rng = np.random.default_rng(13)
+    n_r = 5000
+    rk = rng.permutation(np.arange(1, n_r + 1)).astype(np.int32)
+    sk = np.concatenate([
+        np.full(200000, 7, np.int32),           # heavy key >> chunk size
+        rng.integers(1, 2 * n_r, 30000).astype(np.int32)])
+    rng.shuffle(sk)
+    sp = np.zeros_like(sk)
+    stats = KeyStats(min_key=1, max_key=n_r, is_unique=True)
+    R = Relation.from_numpy(rk, np.arange(n_r, dtype=np.int32), stats=stats)
+    S = Relation.from_numpy(sk, sp)
+    cfg = EngineConfig(interpret=True, radix=RadixConfig(passes=2))
+    res, st, _ = run_join("PRO", R, S, cfg)
+    want = int(np.isin(sk, rk).sum())
+    assert res.count() == want
+
+
+def test_prh_pallas_tier_count_and_rsum():
+    """PRH tier: keys-only count-table probe, non-unique R, r-checksum."""
+    rng = np.random.default_rng(3)
+    rk = rng.integers(1, 4000, 6000).astype(np.int32)   # non-unique R
+    rp = rng.integers(0, 2**31 - 1, 6000).astype(np.int32)
+    sk = rng.integers(1, 8000, 30000).astype(np.int32)
+    sp = np.arange(30000, dtype=np.int32)
+    want, wr, _ = native.ref_join(rk, rp, sk, sp)
+    R = Relation.from_numpy(rk, rp)
+    S = Relation.from_numpy(sk, sp)
+    cfg = EngineConfig(interpret=True)
+    res, st, (sr, ss) = run_join("PRH", R, S, cfg)
+    assert st.tier == "pallas_prh"
+    assert res.count() == want
+    assert sr == wr % 2**32
+    assert st.part_usec > 0 and st.probe_usec > 0 and st.build_usec > 0
+
+
+def test_npo_pallas_tier_phases():
+    """NPO tier: count-table engine, NPO phase contract (no part time)."""
+    rk, rp, sk, sp = _workload(n_r=4000, n_s=30000, hi_mult=2)
+    want = native.ref_join(rk, rp, sk, sp)
+    R = Relation.from_numpy(rk, rp)
+    S = Relation.from_numpy(sk, sp)
+    cfg = EngineConfig(interpret=True)
+    res, st, (sr, ss) = run_join("NPO", R, S, cfg)
+    assert st.tier == "pallas_npo"
+    assert res.count() == want[0]
+    assert sr == want[1] % 2**32 and ss == want[2] % 2**32
+    assert st.part_usec == 0.0 and st.probe_usec > 0
+
+
+def test_prho_pallas_build_multiplicity_guard():
+    """>=65k duplicates of one key: the limb-exactness guard falls back."""
+    from hwbloomradixjoin_tpu.ops import prho_join
+
+    rk = np.concatenate([np.full(70000, 5, np.int32),
+                         np.arange(1, 1000, dtype=np.int32)])
+    rp = np.ones_like(rk)
+    plan = prho_join.plan_prho_join(rk, rp, rk[:128], rp[:128],
+                                    1, 1000, interpret=True)
+    assert plan is None

@@ -134,3 +134,37 @@ def test_bloom_pallas_prune_via_run_join():
     want_after = int(bloom_ops.probe_bitmap_host(bm, sk, args).sum())
     assert res.s_after_filter == want_after
     assert st.part_usec > 0
+
+
+def test_bloom_pallas_2pass_deep_geometry(monkeypatch):
+    """Deep filter geometry (part_bits > single-pass cap): the 2-pass
+    hash partition tier produces the same survivor multiset.  The cap is
+    lowered so the scaled-down config exercises the flagship (m=2^30
+    B=512) code path in interpret mode."""
+    import jax.numpy as jnp
+
+    from hwbloomradixjoin_tpu.config import BloomArgs, BloomVariant
+    from hwbloomradixjoin_tpu.ops import bloom as bloom_ops
+    from hwbloomradixjoin_tpu.ops import bloom_pallas
+
+    monkeypatch.setattr(bloom_pallas, "MAX_PART_BITS", 2)
+    rng = np.random.default_rng(17)
+    rk = rng.permutation(np.arange(1, 4001)).astype(np.int32)
+    sk = rng.integers(1, 30000, 40000).astype(np.int32)
+    # m=2^22, B=512 -> hash_bits=13, part_bits=5 > 2 -> 2-pass (b1=2,b2=3)
+    args = BloomArgs(variant=BloomVariant.BLOCKED, m=1 << 22, k=2, B=512)
+    assert bloom_pallas.geometry(args) is None
+    assert bloom_pallas.geometry_raw(args) is not None
+
+    plan = bloom_pallas.plan_bloom_prune(jnp.asarray(rk), jnp.asarray(sk),
+                                         args, interpret=True)
+    assert plan is not None
+    pruned, n = plan.prune_fn(jnp.int32(0))
+    pruned = np.asarray(pruned).ravel()
+    survivors = np.sort(pruned[pruned != np.int32(-2147483648)])
+
+    bm = bloom_ops.build_bitmap_host(rk, args)
+    keep = bloom_ops.probe_bitmap_host(bm, sk, args)
+    want = np.sort(sk[keep])
+    assert int(n) == len(want)
+    assert np.array_equal(survivors, want)

@@ -63,3 +63,21 @@ def test_dist_zipf_skew(eight_devices):
         mesh, rk, rp, sk, sp, pad_factor=16.0)
     assert int(ovf) == 0
     assert int(cnt) == want[0] == 16_384
+
+
+def test_multiprocess_distributed_cpu():
+    """Real jax.distributed: 2 coordinator-connected CPU processes, 4
+    global devices, exact count + checksums (tools/dist_multiproc.py).
+    Exercises mesh.init_distributed — the multi-host wiring path."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    proc = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "dist_multiproc.py")],
+        capture_output=True, text=True, timeout=600, env=env, cwd=root)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "MULTIPROC PASS" in proc.stdout
