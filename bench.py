@@ -46,6 +46,11 @@ def main():
     algo = os.environ.get("BENCH_ALGO", "PRO")
     repeats = int(os.environ.get("BENCH_REPEATS", 2))
     allow_dense = os.environ.get("BENCH_DENSE", "0") == "1"
+    # BENCH_Q: selectivity (the 128M⋈1.024B north star runs q=0.01, the
+    # reference full-scale config); BENCH_BITS: radix-bits override
+    selectivity = float(os.environ.get("BENCH_Q", 1.0))
+    bits = os.environ.get("BENCH_BITS")
+    bits = int(bits) if bits else None
 
     import jax
     import jax.numpy as jnp
@@ -61,7 +66,7 @@ def main():
         f" (dense fast path {'on' if allow_dense else 'OFF'})")
     t0 = time.perf_counter()
     params = G.WorkloadParams(r_size=r_size, s_size=s_size, nthreads=8,
-                              selectivity=1.0)
+                              selectivity=selectivity)
     rk, rp, sk, sp = G.build_workload(params)
     log(f"datagen: {time.perf_counter()-t0:.1f}s")
 
@@ -76,7 +81,8 @@ def main():
     # key-column projection: the count query never reads S.payload
     S = Relation(key=jnp.asarray(sk), payload=jnp.zeros(1, jnp.int32))
     del sk, sp
-    cfg = EngineConfig(radix=RadixConfig(), allow_dense=allow_dense)
+    cfg = EngineConfig(radix=RadixConfig(num_radix_bits=bits),
+                       allow_dense=allow_dense)
 
     inner = int(os.environ.get("BENCH_INNER", 8))
     best = None
@@ -97,15 +103,15 @@ def main():
             f"results={result.count()}")
         if best is None or stats.total_usec < best.total_usec:
             best = stats
-    expect = G.expected_uniform_match_count(s_size, 1.0)
+    expect = G.expected_uniform_match_count(s_size, selectivity)
 
     # roofline attainment (the perf-counter replacement, utils/roofline.py);
     # phases are checked against the binding bound — HBM for streams, the
     # measured VPU routing model for the split network and probe ladder
     chip = roofline.chip_model()
-    pb, _, slr = bitmap_join.plan_geometry(1, r_size)
+    pb, _, slr = bitmap_join.plan_geometry(1, r_size, bits)
     costs = roofline.join_costs(r_size, s_size, passes=1, part_bits=pb,
-                                sl_rows=slr)
+                                sl_rows=slr, s_live=expect)
     measured = {"partition_S": best.part_usec / 1e6,
                 "build": best.build_usec / 1e6,
                 "probe": best.probe_usec / 1e6}

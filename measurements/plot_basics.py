@@ -141,8 +141,73 @@ def plot_fpr():
     _save(fig, "fpr_curve")
 
 
+def plot_figure11():
+    """PRO / PRH / PRHO / NPO on one workload (ref figure 11 + figure 5).
+
+    Reference (isengard, workload B/A): PRO 9.85, PRH 12.73, PRHO 11.35,
+    NPO 8.63 ns/tuple — annotated for scale comparison (different
+    hardware; the shape, PRO fastest among radix trio, is the claim).
+    """
+    df = _load("algos")
+    if df is None:
+        return
+    order = ["PRO", "PRH", "PRHO", "NPO"]
+    d = df.set_index("algorithm").reindex(order).dropna(
+        subset=["nsec-per-tuple"])
+    fig, ax = _ax("Join algorithm comparison (figure-11 analogue)",
+                  "", "ns / S-tuple")
+    xs = np.arange(len(d))
+    ax.bar(xs, d["nsec-per-tuple"], color=[C[i] for i in range(len(d))],
+           width=0.62)
+    ax.set_xticks(xs)
+    ax.set_xticklabels(d.index, fontsize=9)
+    for x, v in zip(xs, d["nsec-per-tuple"]):
+        ax.annotate(f"{v:.2f}", (x, v), textcoords="offset points",
+                    xytext=(0, 3), ha="center", fontsize=8)
+    _save(fig, "figure11_algos")
+
+
+def plot_passes():
+    """1-pass vs 2-pass partitioning (ref never_single_pass axis)."""
+    df = _load("passes")
+    if df is None:
+        return
+    d = df.sort_values("passes")
+    fig, ax = _ax("Partitioning passes", "passes", "ns / S-tuple")
+    ax.bar(d["passes"].astype(str), d["nsec-per-tuple"],
+           color=[C[0], C[1]][:len(d)], width=0.5)
+    _save(fig, "passes")
+
+
+def plot_dist_bloom():
+    """Exchange-volume reduction from pre-shuffle bloom pruning."""
+    df = _load("dist_bloom")
+    if df is None:
+        return
+    d = df.copy()
+    d["label"] = d.apply(
+        lambda r: "no filter" if r["bloom_filter"] == "no"
+        else f"{r['bloom_filter']} k={r['bloom_hashes']}", axis=1)
+    fig, ax = _ax("Distributed: S bytes crossing the interconnect",
+                  "", "MiB shuffled")
+    xs = np.arange(len(d))
+    ax.bar(xs, d["s-exchanged-bytes"] / 2**20,
+           color=[C[0] if v == "no" else C[2]
+                  for v in d["bloom_filter"]], width=0.62)
+    ax.set_xticks(xs)
+    ax.set_xticklabels(d["label"], fontsize=8)
+    for x, v, red in zip(xs, d["s-exchanged-bytes"] / 2**20,
+                         d["exchange-reduction"]):
+        ax.annotate(f"{red:.1f}x" if red > 1.01 else "",
+                    (x, v), textcoords="offset points",
+                    xytext=(0, 3), ha="center", fontsize=8)
+    _save(fig, "dist_bloom")
+
+
 PLOTS = {"figure9": plot_figure9, "scaling": plot_scaling,
-         "bloom": plot_bloom, "fpr": plot_fpr}
+         "bloom": plot_bloom, "fpr": plot_fpr,
+         "figure11": plot_figure11, "passes": plot_passes,
+         "dist_bloom": plot_dist_bloom}
 
 
 def main(which="all"):

@@ -14,9 +14,22 @@ if [ "$MODE" = cpu ]; then
     python measurements/run.py quick
     python measurements/run.py scaling
 else
-    python measurements/run.py radix_bits
-    python measurements/run.py bloom
-    python measurements/run.py passes
-    python measurements/run.py scaling
+    # full-scale sweep set (the committed data's provenance); enable the
+    # persistent compile cache so repeated geometries skip recompiles
+    export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-$HOME/.cache/jaxcomp}
+    export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=2
+    HBRJ_SWEEP_R=16000000 HBRJ_SWEEP_S=128000000 \
+        python measurements/run.py radix_bits
+    HBRJ_SWEEP_R=16000000 HBRJ_SWEEP_S=128000000 \
+        python measurements/run.py algos
+    HBRJ_SWEEP_R=16000000 HBRJ_SWEEP_S=128000000 \
+        python measurements/run.py bloom
+    HBRJ_SWEEP_R=16000000 HBRJ_SWEEP_S=128000000 \
+        python measurements/run.py passes
+    python measurements/run.py never_single_pass
+    python measurements/run.py params
+    HBRJ_SWEEP_R=8000000 HBRJ_SWEEP_S=64000000 \
+        python measurements/run.py scaling
+    python measurements/run.py dist_bloom
 fi
 python measurements/plot_basics.py all

@@ -117,7 +117,7 @@ def sweep_quick(backend="cpu"):
 
 
 def sweep_bloom(backend="auto", r_size=1_000_000, s_size=8_000_000,
-                m=None, inner=4):
+                m=None, inner=4, ks=(1, 2, 4, 8)):
     """best_bloom_filter_type parity: basic vs blocked x k (run.py:272).
 
     Includes a no-bloom PRO row as the comparison base (the thesis
@@ -136,7 +136,7 @@ def sweep_bloom(backend="auto", r_size=1_000_000, s_size=8_000_000,
     row["bloom"], row["k"] = "no", 0
     rows.append(row)
     save_data(rows, "bloom_filter_type")
-    for variant, k in itertools.product(("blocked", "basic"), (1, 2, 4, 8)):
+    for variant, k in itertools.product(("blocked", "basic"), tuple(ks)):
         cfg = JoinConfig(algorithm="PRO", r_size=r_size, s_size=s_size,
                          selectivity=0.01, bloom_filter=variant,
                          bloom_size=m, bloom_hashes=k, no_dense=True,
@@ -222,6 +222,15 @@ def sweep_scaling(r_size=500_000, s_size=4_000_000, max_devices=8):
     on a virtual CPU mesh (xla_force_host_platform_device_count) so the
     sweep works without a pod slice; on real multi-chip hardware the same
     flags run over ICI.  Efficiency = T(1) / (N * T(N)) on rows/s.
+
+    READ THE NUMBER CAREFULLY: on a virtual mesh all N "devices" share
+    one host's cores, and the 1-device XLA program already uses them all
+    (intra-op threading), so per-device efficiency CANNOT approach 1.0
+    here by construction — it measures SPMD overhead (shuffle, capacity
+    padding, replicated work), not hardware scaling.  The wall-clock
+    SPEEDUP column is the honest virtual-mesh signal; the >=80%
+    efficiency target (BASELINE) is a real-multi-chip criterion that this
+    environment (one attached chip) cannot measure.
     """
     rows = []
     env = {"JAX_PLATFORMS": "cpu",
@@ -232,11 +241,12 @@ def sweep_scaling(r_size=500_000, s_size=4_000_000, max_devices=8):
         cfg = JoinConfig(algorithm="PRO", r_size=r_size, s_size=s_size,
                          selectivity=0.25, backend="cpu", devices=n,
                          repeats=3)
-        row = run_one(cfg, env=env)
+        row = run_one(cfg, env=env, timeout=7200)
         row["devices"] = n
         if base is None:
             base = row["time-usecs"]
         row["scaling-efficiency"] = base / (n * row["time-usecs"])
+        row["speedup-vs-1dev"] = base / row["time-usecs"]
         rows.append(row)
         n *= 2
     return save_data(rows, "scaling")
@@ -321,6 +331,9 @@ if __name__ == "__main__":
         v = os.environ.get(env)
         if v is not None:
             kwargs[k] = int(v)
+    if os.environ.get("HBRJ_SWEEP_KS"):
+        kwargs["ks"] = tuple(
+            int(x) for x in os.environ["HBRJ_SWEEP_KS"].split(","))
     import inspect
     sig = inspect.signature(SWEEPS[which])
     kwargs = {k: v for k, v in kwargs.items() if k in sig.parameters}

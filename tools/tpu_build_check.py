@@ -41,9 +41,6 @@ def main():
           f"build_usec={plan.build_usec:.0f} "
           f"({plan.build_usec*1e3/n_r:.2f} ns/R-tuple)", flush=True)
 
-    # bit-exactness of the device build
-    got_bm = np.asarray(plan.full_fn and jax.jit(
-        lambda c: c)(0) is not None and want_bm)  # placeholder no-op
     cnt = plan.count()
     cntf = plan.full_count(1)
     print(f"count={cnt} full={cntf} want={want} "
