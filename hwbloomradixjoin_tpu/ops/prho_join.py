@@ -508,16 +508,21 @@ def plan_prho_join(r_key, r_pay, s_key, s_pay, lo: int, hi: int,
     jax.block_until_ready(count_jit(sk_in, sp_in, jnp.int32(0)))
     rd0 = jax.jit(lambda s: bitmap_join.derive_descs(
         s.reshape(nchunks, -1, LANES), geom))(starts)
-    probe_jit = jax.jit(lambda chain: probe_count_sums(
-        cnt_tbl, pay_tbl, s_part, sp_part + chain * 0, rd0[0], rd0[1], geom,
-        interpret=interpret)[0])
-    part_scalar = jax.jit(lambda chain: part(
-        sk_in, sp_in, chain)[0].ravel()[-1].astype(jnp.int32))
+    # big arrays ride as jit ARGUMENTS, never closures: a closed-over
+    # device array is inlined as an HLO constant and the serialized
+    # program blows the remote compiler's request limit at production S
+    probe_jit = jax.jit(lambda ct, pt, s2, p2, rd, od, chain:
+                        probe_count_sums(ct, pt, s2, p2 + chain * 0,
+                                         rd, od, geom,
+                                         interpret=interpret)[0])
+    part_scalar = jax.jit(lambda sk, sp, chain: part(
+        sk, sp, chain)[0].ravel()[-1].astype(jnp.int32))
 
     return PrhoPlan(
         count_fn=lambda c: count_jit(sk_in, sp_in, c),
-        part_fn=part_scalar,
-        probe_fn=probe_jit,
+        part_fn=lambda c: part_scalar(sk_in, sp_in, c),
+        probe_fn=lambda c: probe_jit(cnt_tbl, pay_tbl, s_part, sp_part,
+                                     rd0[0], rd0[1], c),
         s_tuples=int(s_key.shape[0]),
         build_usec=build_usec, geom=geom,
         full_fn=lambda c: full_jit(rk_in, rp_in, sk_in, sp_in, c),
@@ -615,16 +620,18 @@ def plan_prh_join(r_key, r_pay, s_key, lo: int, hi: int,
     jax.block_until_ready(count_jit(sk_in, jnp.int32(0)))
     rd0 = jax.jit(lambda s: bitmap_join.derive_descs(
         s.reshape(nchunks, -1, LANES), geom))(starts)
-    probe_jit = jax.jit(lambda chain: probe_count_sums(
-        cnt_tbl, pay_tbl, s_part + chain * 0, None, rd0[0], rd0[1], geom,
-        interpret=interpret)[0])
-    part_scalar = jax.jit(lambda chain: part(
-        sk_in, chain)[0].ravel()[-1].astype(jnp.int32))
+    probe_jit = jax.jit(lambda ct, pt, s2, rd, od, chain:
+                        probe_count_sums(ct, pt, s2 + chain * 0, None,
+                                         rd, od, geom,
+                                         interpret=interpret)[0])
+    part_scalar = jax.jit(lambda sk, chain: part(
+        sk, chain)[0].ravel()[-1].astype(jnp.int32))
 
     return PrhoPlan(
         count_fn=lambda c: count_jit(sk_in, c),
-        part_fn=part_scalar,
-        probe_fn=probe_jit,
+        part_fn=lambda c: part_scalar(sk_in, c),
+        probe_fn=lambda c: probe_jit(cnt_tbl, pay_tbl, s_part,
+                                     rd0[0], rd0[1], c),
         s_tuples=int(s_key.shape[0]),
         build_usec=build_usec, geom=geom,
         full_fn=lambda c: full_jit(rk_in, rp_in, sk_in, c),
