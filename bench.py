@@ -31,6 +31,13 @@ import time
 
 import numpy as np
 
+# persistent compile cache: Pallas plan compiles through the remote tunnel
+# take ~10 min cold; cached geometries replan in seconds (must be set
+# before jax import)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jaxcomp"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
 BASELINE_ROWS_PER_S = 1e9 / 2.98  # PRO 128M⋈1.024B, 14 thr (BASELINE.md)
 
 

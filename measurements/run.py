@@ -168,18 +168,34 @@ def sweep_params(backend="auto", inner=4, r_sizes=(250_000, 1_000_000)):
     return save_data(rows, "test_parameters")
 
 
-def sweep_radix_bits(backend="auto", r_size=1_000_000, s_size=8_000_000):
+def sweep_radix_bits(backend="auto", r_size=1_000_000, s_size=8_000_000,
+                     bits_list=None):
     """Figure-9 analogue: NUM_RADIX_BITS sweep — a runtime knob here.
 
     The reference sweeps 12..17 via sed+rebuild
     (base_results/rerun-experiments.sh); the engine's valid window is
-    [range-17, range-12] bits (ops/bitmap_join.plan_geometry) so the sweep
-    covers the whole window plus the auto setting.
+    [range-19, range-12] bits (ops/bitmap_join.plan_geometry) so the sweep
+    covers the whole window plus the auto setting.  bits_list (or env
+    HBRJ_SWEEP_BITS="5,6,8") restricts/resumes the sweep; rows append to
+    any existing pkl for the same workload (long TPU sweeps run in
+    installments).
     """
+    import pandas as pd
+
     rows = []
+    pkl = os.path.join(DATA_DIR, "radix_bits.pkl")
+    if os.path.exists(pkl):
+        prev = pd.read_pickle(pkl)
+        if len(prev) and (prev["r_size"] == r_size).all():
+            rows = prev.to_dict("records")
+    done = {r.get("radix-bits") for r in rows}
     range_bits = max((r_size - 1).bit_length(), 12)
-    for bits in [None] + list(range(max(range_bits - 19, 0),
-                                    max(range_bits - 12, 0) + 1)):
+    if bits_list is None:
+        bits_list = [None] + list(range(max(range_bits - 19, 0),
+                                        max(range_bits - 12, 0) + 1))
+    for bits in bits_list:
+        if (-1 if bits is None else bits) in done:
+            continue
         cfg = JoinConfig(algorithm="PRO", r_size=r_size, s_size=s_size,
                          radix_bits=bits, no_dense=True, inner=4,
                          backend=backend)
@@ -334,6 +350,9 @@ if __name__ == "__main__":
     if os.environ.get("HBRJ_SWEEP_KS"):
         kwargs["ks"] = tuple(
             int(x) for x in os.environ["HBRJ_SWEEP_KS"].split(","))
+    if os.environ.get("HBRJ_SWEEP_BITS"):
+        kwargs["bits_list"] = [
+            int(x) for x in os.environ["HBRJ_SWEEP_BITS"].split(",")]
     import inspect
     sig = inspect.signature(SWEEPS[which])
     kwargs = {k: v for k, v in kwargs.items() if k in sig.parameters}

@@ -168,3 +168,21 @@ def test_bloom_pallas_2pass_deep_geometry(monkeypatch):
     want = np.sort(sk[keep])
     assert int(n) == len(want)
     assert np.array_equal(survivors, want)
+
+
+def test_bloom_pallas_oversized_block_falls_back():
+    """ADVICE r3: B > slice capacity must return None (XLA fallback), not
+    crash on a negative shift (e.g. --bloom-block-size 262144, m=2^26)."""
+    import jax.numpy as jnp
+
+    from hwbloomradixjoin_tpu.config import BloomArgs, BloomVariant
+    from hwbloomradixjoin_tpu.ops import bloom_pallas
+
+    args = BloomArgs(variant=BloomVariant.BLOCKED, m=1 << 26, k=2,
+                     B=1 << 18)
+    assert bloom_pallas.geometry(args) is None
+    assert bloom_pallas.geometry_raw(args) is None
+    rk = jnp.arange(1, 1001, dtype=jnp.int32)
+    sk = jnp.arange(1, 5001, dtype=jnp.int32)
+    assert bloom_pallas.plan_bloom_prune(rk, sk, args,
+                                         interpret=True) is None
