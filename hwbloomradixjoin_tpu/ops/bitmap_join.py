@@ -548,7 +548,12 @@ def _probe_geom(part_bits, shift, sl_rows, lo, chunk_rows, nchunks,
     run_rows = -(-int(max_run_elems) // LANES) + 1   # +1 boundary row
     c_rows = min((run_rows + 7) & ~7, chunk_rows, c_rows_cap)
     ntiles = max(1, -(-run_rows // c_rows))
-    ch = max(1, min(32, SBUF_BUDGET_ROWS // c_rows, nchunks))
+    # tiny windows (low-selectivity workloads prune most of S in pass 1)
+    # leave each grid step mostly fixed overhead: serve more chunks per
+    # step so the grid shrinks (north-star probe was 63k steps x ~5 us
+    # of step overhead with ch=32; 128 cuts it 4x)
+    ch_cap = 128 if c_rows <= 16 else 32
+    ch = max(1, min(ch_cap, SBUF_BUDGET_ROWS // c_rows, nchunks))
     ngroups = -(-nchunks // ch)
     return ProbeGeom(part_bits=part_bits, shift=shift, sl_rows=sl_rows,
                      lo=lo, chunk_rows=chunk_rows, nchunks=nchunks,

@@ -426,3 +426,19 @@ def test_prho_pallas_build_multiplicity_guard():
     plan = prho_join.plan_prho_join(rk, rp, rk[:128], rp[:128],
                                     1, 1000, interpret=True)
     assert plan is None
+
+
+def test_probe_many_chunks_per_step():
+    """Tiny windows (low selectivity) raise ch_per_step past 32 so the
+    grid shrinks — exact counts with >32 chunk slots per probe step."""
+    import numpy as np
+    from hwbloomradixjoin_tpu.ops import bitmap_join
+
+    rng = np.random.default_rng(4)
+    n_r = 60000
+    rk = rng.permutation(np.arange(1, n_r + 1)).astype(np.int32)
+    sk = rng.integers(1, 80 * n_r, 600000).astype(np.int32)
+    plan = bitmap_join.plan_radix_join(rk, sk, 1, n_r, interpret=True,
+                                       chunk_rows=64)
+    assert plan is not None and plan.geom.ch_per_step > 32
+    assert plan.count() == int(np.isin(sk, rk).sum())
