@@ -72,15 +72,16 @@ def plan_geometry(lo: int, hi: int, num_radix_bits: Optional[int] = None):
     """
     span = hi - lo + 1
     range_bits = max((max(span - 1, 1)).bit_length(), 12)
-    # knob window reaches shift=19 (sl_rows=128): each partition bit costs
-    # ~0.32 ns/elem in the split network while a doubled slice adds only
-    # ~0.004 ns/row to the probe ladder, so bigger slices win whenever the
-    # probe sees fewer elements than the partition (q < 1 workloads) —
-    # sweepable via --engine-radix-bits (the figure-9 axis)
+    # Default shift=19 (sl_rows=128): each partition bit costs ~0.285
+    # ns/elem in the split network while a doubled slice adds only
+    # ~0.004 ns/row to the probe ladder, so the minimum fan-out the
+    # ladder allows wins.  Measured round 4 (committed sweeps): 16M⋈128M
+    # q=1 at bits=5: 2.40 vs 2.79 ns/tuple at the old range-17 default;
+    # 128M⋈1.024B q=0.01 at bits=8: 3.17 vs 3.95.  The knob window still
+    # spans shift 12..19 — the figure-9 axis (--engine-radix-bits).
     lo_bits = max(range_bits - 19, 0)
     hi_bits = max(range_bits - 12, 0)
-    default_bits = max(range_bits - 17, 0)
-    part_bits = default_bits if num_radix_bits is None else (
+    part_bits = lo_bits if num_radix_bits is None else (
         min(max(num_radix_bits, lo_bits), hi_bits))
     shift = range_bits - part_bits            # in [12, 19]
     # slice stride >= 8 rows: Mosaic requires block sublanes divisible by 8
