@@ -66,6 +66,12 @@ from hwbloomradixjoin_tpu.utils.timing import JoinStats
 # probe side.  Beyond that the sort tier takes over.
 HT_MAX_SLOTS = 1 << 28
 
+# The bitmap radix engine spends 1 BIT per key-range slot, so it serves
+# the full int32 key space (--full-range workloads, src/main.c:607-615):
+# a 2^31-slot bitmap is 256 MiB of HBM.  Requires lo >= 0 so normalized
+# keys stay in int32.
+BITMAP_MAX_SPAN = 1 << 31
+
 # (id(R.key), id(S.key), bloom_args, lo, hi, bits, interpret) ->
 # (plan, pruned S, pinned arrays).  Bounded: holding every plan ever built
 # pins its arrays (and the plan's partitioned S copy) in HBM forever.
@@ -91,8 +97,9 @@ ALGORITHMS = {
 }
 
 
-def _key_range(R: Relation):
-    """Static key range for the count-table tier; None if unusable.
+def _key_range(R: Relation, max_span: int = HT_MAX_SLOTS,
+               require_nonneg: bool = False):
+    """Static key range for the table/bitmap tiers; None if unusable.
 
     Uses declared stats when present; otherwise a one-off device min/max
     (planning-time metadata collection, not in the timed path).
@@ -102,14 +109,23 @@ def _key_range(R: Relation):
     else:
         lo = int(jnp.min(R.key))
         hi = int(jnp.max(R.key))
-    if hi - lo + 1 > HT_MAX_SLOTS or lo < -(1 << 30):
+    if hi - lo + 1 > max_span or lo < -(1 << 30):
+        return None
+    if require_nonneg and lo < 0:
         return None
     return lo, hi
 
 
 def select_tier(spec: AlgoSpec, R: Relation, cfg: EngineConfig,
-                key_range) -> str:
-    """Pick the execution tier for this (algorithm, workload, config)."""
+                key_range, wide_range=None) -> str:
+    """Pick the execution tier for this (algorithm, workload, config).
+
+    key_range is gated at HT_MAX_SLOTS (word-granular tables);
+    wide_range at BITMAP_MAX_SPAN (bit-granular bitmap engine) — the
+    full-range workloads only the bitmap tier can serve.
+    """
+    if wide_range is None:
+        wide_range = key_range
     if R.key_hi is not None:
         return "materialize8b" if cfg.materialize else "key8b"
     dense_ok = (R.stats is not None and R.stats.is_dense_pk
@@ -122,23 +138,30 @@ def select_tier(spec: AlgoSpec, R: Relation, cfg: EngineConfig,
         return "materialize"
     if spec.name in ("PRO", "RJ") and cfg.radix.use_pallas \
             and (jax.default_backend() == "tpu" or cfg.interpret) \
-            and key_range is not None \
+            and wide_range is not None \
             and R.stats is not None and R.stats.is_unique:
         return "pallas_radix"
+    if spec.name in ("PRO", "RJ") and cfg.radix.use_pallas \
+            and (jax.default_backend() == "tpu" or cfg.interpret) \
+            and key_range is not None:
+        # non-unique build side (--full-range / --non-unique workloads):
+        # the exact bitmap cannot carry multiplicity, the count-table
+        # engine can — serve PRO through it rather than the XLA ht tier
+        return "pallas_prho"
     if spec.name == "PRHO" and cfg.radix.use_pallas \
             and (jax.default_backend() == "tpu" or cfg.interpret) \
             and key_range is not None \
-            and key_range[1] - key_range[0] < (1 << 26):
+            and key_range[1] - key_range[0] < HT_MAX_SLOTS:
         return "pallas_prho"       # partitioned count-table probe; works
     if spec.name == "PRH" and cfg.radix.use_pallas \
             and (jax.default_backend() == "tpu" or cfg.interpret) \
             and key_range is not None \
-            and key_range[1] - key_range[0] < (1 << 26):
+            and key_range[1] - key_range[0] < HT_MAX_SLOTS:
         return "pallas_prh"        # keys-only count-table probe
     if spec.family == "npo" and cfg.radix.use_pallas \
             and (jax.default_backend() == "tpu" or cfg.interpret) \
             and key_range is not None \
-            and key_range[1] - key_range[0] < (1 << 26):
+            and key_range[1] - key_range[0] < HT_MAX_SLOTS:
         # NPO's shared-hash-table contract (non-unique R, no partition
         # phase) served by the count-table engine; on TPU random probes
         # require clustering, which NPO performs INSIDE its probe phase
@@ -372,17 +395,25 @@ def _run_pallas_radix(spec: AlgoSpec, R: Relation, S: Relation,
     # evaluates the filter inside each timed pass-1).
     floor = _bj.dispatch_floor_usec()
     reps = max(1, inner_repeats)
+    chained_done = False
     if reps >= 3 and plan.chain_fn is not None and not interpret:
         # sweep-scale protocol: reps serialized joins inside ONE device
         # program — one dispatch floor amortized over all repeats, so no
         # load-bearing subtraction remains (ADVICE r3 / VERDICT weak 2)
-        plan.chained_count(1)               # compile + warm
-        t0 = time.perf_counter()
-        cnt = plan.chained_count(reps)
-        raw = (time.perf_counter() - t0) * 1e6
-        total_usec = max(raw - floor, 0.5 * raw) / reps + prune_usec
-        best_raw = raw / reps + prune_usec
-    else:
+        try:
+            plan.chained_count(1)           # compile + warm
+            t0 = time.perf_counter()
+            cnt = plan.chained_count(reps)
+            raw = (time.perf_counter() - t0) * 1e6
+            total_usec = max(raw - floor, 0.5 * raw) / reps + prune_usec
+            best_raw = raw / reps + prune_usec
+            chained_done = True
+        except jax.errors.JaxRuntimeError:
+            # huge fan-out geometries can push the chained program past
+            # the remote-compile payload limit; per-rep timing is the
+            # (floor-subtracted, audited) fallback protocol
+            chained_done = False
+    if not chained_done:
         total_usec = best_raw = None
         for i in range(reps):
             t0 = time.perf_counter()
@@ -509,7 +540,10 @@ def run_join(name: str, R: Relation, S: Relation,
     if spec.family == "npo":
         bloom_args = None  # B_NPO wrappers ignore the filter (main.c:296-312)
     key_range = _key_range(R) if R.key_hi is None else None
-    tier = select_tier(spec, R, cfg, key_range)
+    wide_range = key_range
+    if wide_range is None and R.key_hi is None:
+        wide_range = _key_range(R, BITMAP_MAX_SPAN, require_nonneg=True)
+    tier = select_tier(spec, R, cfg, key_range, wide_range)
     if tier == "dense" and key_range is None:
         # the dense fast path needs no table, so the count-table size cap
         # (HT_MAX_SLOTS) must not gate it — read the range off the stats
@@ -517,7 +551,7 @@ def run_join(name: str, R: Relation, S: Relation,
 
     if tier == "pallas_radix":
         out = _run_pallas_radix(spec, R, S, cfg, bloom_args, inner_repeats,
-                                key_range)
+                                wide_range)
         if out is not None:
             return out
         tier = "ht" if key_range is not None else "sortscan"

@@ -9,12 +9,16 @@ measured primitive throughputs (tools/microbench.py):
   gather (take_along_axis axis=1) runs at ~1 op/elem, so a probe structure
   must be navigable by 128-lane row lookups plus a short select ladder over
   slice rows — the measured ladder cost is ~0.25 + 0.004*sl_rows ns/elem.
-- Partitioning via the bit-serial split network costs ~0.31 ns/elem/bit
-  (measured), so fan-out is chosen to minimize split_bits + ladder_rows:
-  each bucket covers 2^shift keys with shift ~17 (slice = 32 vreg rows,
-  16 KiB, VMEM-resident for the whole bucket probe) — the VMEM-residency
-  analogue of the reference's cache-line blocks (bloom_filter.c:125-141)
-  and of NUM_RADIX_BITS bounding fan-out to TLB reach (prj_params.h:15-22).
+- Partitioning via the bit-serial split network costs ~0.185 ns/elem/bit
+  (measured round 5, after the category-recompute + packed-routing-state
+  rewrite in ops/radix.py), so fan-out minimizes split_bits +
+  survivor_frac * ladder_rows: each bucket covers 2^shift keys with a
+  VMEM-resident bitmap slice of 2^(shift-12) vreg rows — the
+  VMEM-residency analogue of the reference's cache-line blocks
+  (bloom_filter.c:125-141) and of NUM_RADIX_BITS bounding fan-out to TLB
+  reach (prj_params.h:15-22).  Low-selectivity workloads first compact
+  survivors with ONE pack network (compact_pass) so the multi-bit
+  routing streams ~q*|S| tuples instead of |S|.
 - Pass 1 (Pallas `partition_pass`, ops/radix.py) streams S through VMEM
   chunks, splitting each chunk bucket-major by the TOP bits of the
   normalized key, with pruning fused into the pass: PAD keys (bloom-pruned
@@ -58,35 +62,75 @@ SBUF_BUDGET_ROWS = 4096    # probe staging budget: 2 MiB of VMEM
 VMEM_LIMIT = 100 * 1024 * 1024
 
 
-def plan_geometry(lo: int, hi: int, num_radix_bits: Optional[int] = None):
+# Measured per-element cost constants on TPU v5e (tools/part_bench.py,
+# round 5): one split-network bit costs ~0.185 ns/elem streamed; one
+# resident slice row adds ~0.004 ns/elem to the probe's select ladder.
+SPLIT_NS_PER_BIT = 0.185
+LADDER_NS_PER_ROW = 0.004
+SHIFT_MAX = 25                 # sl_rows cap 2^13 rows = 4 MiB slice
+
+
+def plan_geometry(lo: int, hi: int, num_radix_bits: Optional[int] = None,
+                  survivor_frac: float = 1.0):
     """Derive (part_bits, shift, sl_rows) from the build-side key range.
 
-    Each bucket covers 2^shift keys; shift defaults to range_bits - 12 ..
-    down to range_bits - 17 so the slice is 1..32 vreg rows.  Default
-    fan-out is the minimum the range forces (measured: split cost is
-    0.31 ns/elem/bit while the ladder adds only 0.004 ns/elem/row, so
-    fewer partition bits win until sl_rows ~128).  num_radix_bits
-    (--engine-radix-bits) overrides fan-out within the hardware-valid
-    window — the sweep axis of the reference's figure 9 (NUM_RADIX_BITS
-    12..17, parallel_radix_join.c / prj_params.h:15-22).
+    Each bucket covers 2^shift keys and owns a contiguous bitmap slice of
+    sl_rows = 2^(shift-12) vreg rows that stays VMEM-resident for the
+    whole bucket probe (the VMEM-residency analogue of the reference's
+    cache-line blocks, bloom_filter.c:125-141, and of NUM_RADIX_BITS
+    bounding fan-out to TLB reach, prj_params.h:15-22).
+
+    Fan-out minimizes measured cost: each partition bit streams every S
+    tuple through the split network (~SPLIT_NS_PER_BIT), while the probe
+    ladder's per-row cost is paid ONLY by tuples that survive pass-1's
+    fused range prune — at north-star selectivity (q=0.01) 99% of S never
+    reaches the probe, so deep shifts (large slices, few partition bits)
+    win decisively.  survivor_frac is the fraction of S inside [lo, hi]
+    (1.0 when unknown).  num_radix_bits (--engine-radix-bits) overrides
+    fan-out within the hardware-valid window — the sweep axis of the
+    reference's figure 9 (NUM_RADIX_BITS 12..17).
     """
     span = hi - lo + 1
     range_bits = max((max(span - 1, 1)).bit_length(), 12)
-    # Default shift=19 (sl_rows=128): each partition bit costs ~0.285
-    # ns/elem in the split network while a doubled slice adds only
-    # ~0.004 ns/row to the probe ladder, so the minimum fan-out the
-    # ladder allows wins.  Measured round 4 (committed sweeps): 16M⋈128M
-    # q=1 at bits=5: 2.40 vs 2.79 ns/tuple at the old range-17 default;
-    # 128M⋈1.024B q=0.01 at bits=8: 3.17 vs 3.95.  The knob window still
-    # spans shift 12..19 — the figure-9 axis (--engine-radix-bits).
-    lo_bits = max(range_bits - 19, 0)
+    lo_bits = max(range_bits - SHIFT_MAX, 0)
     hi_bits = max(range_bits - 12, 0)
-    part_bits = lo_bits if num_radix_bits is None else (
-        min(max(num_radix_bits, lo_bits), hi_bits))
-    shift = range_bits - part_bits            # in [12, 19]
+    sf = min(max(survivor_frac, 1e-4), 1.0)
+
+    def cost(bits):
+        sl = max(1 << (range_bits - bits - 12), 8)
+        return (bits + 1) * SPLIT_NS_PER_BIT + sf * LADDER_NS_PER_ROW * sl
+
+    if num_radix_bits is None:
+        part_bits = min(range(lo_bits, hi_bits + 1), key=cost)
+    else:
+        part_bits = min(max(num_radix_bits, lo_bits), hi_bits)
+    shift = range_bits - part_bits            # in [12, SHIFT_MAX]
     # slice stride >= 8 rows: Mosaic requires block sublanes divisible by 8
     # (slices smaller than 2^15 bits get zero-padded rows)
     sl_rows = max(1 << (shift - 12), 8)
+    return part_bits, shift, sl_rows
+
+
+def plan_build_geometry(lo: int, hi: int, part_bits: int, shift: int,
+                        sl_rows: int):
+    """R-side (build) geometry: may be FINER than the probe geometry.
+
+    The MXU deposit's one-hot row matmul scales with sl_rows, so the
+    build wants small slices even when the probe wants huge ones.  Both
+    sides write/read the SAME global bitmap: with sl_rows exactly
+    2^(shift-12) (no 8-row padding) the layout is norm-contiguous —
+    word(norm) = norm >> 5 row-major — so a finer build partition
+    (shift_r <= shift) tiles the probe's slices exactly.  Falls back to
+    the probe geometry when either side would need padded slices.
+    """
+    span = hi - lo + 1
+    range_bits = max((max(span - 1, 1)).bit_length(), 12)
+    shift_r = 19
+    if shift > shift_r and range_bits - shift_r >= 1:
+        # both layouts unpadded (shift >= 15 implied by shift > 19;
+        # shift_r = 19 >= 15), so the global bitmaps are identical
+        bits_r = range_bits - shift_r
+        return bits_r, shift_r, 1 << (shift_r - 12)
     return part_bits, shift, sl_rows
 
 
@@ -210,7 +254,8 @@ def _probe_kernel_for(geom: ProbeGeom):
                     s_ref.at[pl.ds(row_d[0, 0, t], c_rows), :],
                     sbuf.at[pl.ds(t * c_rows, c_rows), :], sem).wait()
 
-        sl = bm_ref[:]                   # (sl_rows, 128) bucket slice
+        if sl_rows <= 128:
+            sl = bm_ref[:]               # (sl_rows, 128) bucket slice
         live_rows = nlive * c_rows
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
 
@@ -232,13 +277,29 @@ def _probe_kernel_for(geom: ProbeGeom):
             if sl_rows == 1:
                 v = jnp.take_along_axis(
                     jnp.broadcast_to(sl[0:1], (8, LANES)), lane, axis=1)
-            else:
+            elif sl_rows <= 128:
                 v = jnp.zeros((8, LANES), jnp.int32)
                 for j in range(sl_rows):
                     gth = jnp.take_along_axis(
                         jnp.broadcast_to(sl[j:j + 1], (8, LANES)),
                         lane, axis=1)
                     v = jnp.where(rowj == j, gth, v)
+            else:
+                # deep-shift slices (up to 2^13 rows): the select ladder
+                # runs as a fori_loop over 8-row groups of the resident
+                # slice REF (compiled size stays O(8); the O(sl_rows)
+                # compute is paid only by range-prune survivors)
+                def jbody(jg, v):
+                    rows8 = bm_ref[pl.ds(jg * 8, 8), :]
+                    hit8 = (rowj >> 3) == jg
+                    for j2 in range(8):
+                        gth = jnp.take_along_axis(
+                            jnp.broadcast_to(rows8[j2:j2 + 1], (8, LANES)),
+                            lane, axis=1)
+                        v = jnp.where(hit8 & ((rowj & 7) == j2), gth, v)
+                    return v
+                v = jax.lax.fori_loop(
+                    0, sl_rows // 8, jbody, jnp.zeros((8, LANES), jnp.int32))
             acc[:] += jnp.where(ok, (v >> (norm & 31)) & 1, 0)
             return 0
 
@@ -562,27 +623,162 @@ def _probe_geom(part_bits, shift, sl_rows, lo, chunk_rows, nchunks,
                      ntiles=ntiles)
 
 
+def _traced_probe_geom(part_bits, shift, sl_rows, lo, chunk_rows, nchunks,
+                       slack: int = 4):
+    """Static window geometry with NO plan-time data sync (shard_map-safe).
+
+    Window rows cover `slack` times the uniform-hash mean run; callers
+    must check the traced overflow flag (any run longer than its window
+    would be truncated — the same bail-out contract as the plan path's
+    fallback, surfaced as a flag because no host sync is allowed here).
+    """
+    mean_rows = max(chunk_rows >> max(part_bits, 0), 1)
+    c_rows = max(8, min(1 << (slack * mean_rows - 1).bit_length(),
+                        chunk_rows, C_ROWS_CAP))
+    ch_cap = 128 if c_rows <= 16 else 32
+    ch = max(1, min(ch_cap, SBUF_BUDGET_ROWS // c_rows, nchunks))
+    ngroups = -(-nchunks // ch)
+    return ProbeGeom(part_bits=part_bits, shift=shift, sl_rows=sl_rows,
+                     lo=lo, chunk_rows=chunk_rows, nchunks=nchunks,
+                     c_rows=c_rows, ch_per_step=ch, ngroups=ngroups,
+                     ntiles=1)
+
+
+def _traced_pad(k, chunk: int):
+    """Pad a traced flat array to a chunk multiple (static shapes)."""
+    n = k.shape[0]
+    tgt = -(-max(n, 1) // chunk) * chunk
+    if tgt == n:
+        return k
+    return jnp.concatenate([k, jnp.full((tgt - n,), jnp.int32(PAD_KEY))])
+
+
+def _max_run(starts, nchunks, part_bits):
+    st = starts.reshape(nchunks, -1)[:, :(1 << part_bits) + 1]
+    return jnp.max(st[:, 1:] - st[:, :-1])
+
+
+def traced_radix_count(r_key, s_key, lo: int, hi: int,
+                       interpret: bool = False,
+                       chunk_rows: Optional[int] = None,
+                       num_radix_bits: Optional[int] = None):
+    """Fully-traced single-device bitmap join: (count, overflow).
+
+    The shard_map-composable form of plan_radix_join — no host syncs, so
+    the per-device local join of the distributed engine can BE the Pallas
+    engine (VERDICT r4: dist must not fall back to the XLA sort tier).
+    Static window geometry assumes near-uniform bucket loads (true after
+    the distributed hash shuffle); `overflow` != 0 means a run exceeded
+    its window (heavy key skew) and the count is invalid — callers fall
+    back to the portable path, the traced analogue of plan_radix_join
+    returning None.  Count-only (the reference's default join output,
+    main.c:117-123); requires unique R keys in [lo, hi].
+    """
+    if chunk_rows is None:
+        chunk_rows = 1024 if interpret else CHUNK_ROWS
+    chunk = chunk_rows * LANES
+    rk = _traced_pad(jnp.asarray(r_key, jnp.int32).reshape(-1), chunk)
+    sk = _traced_pad(jnp.asarray(s_key, jnp.int32).reshape(-1), chunk)
+    part_bits, shift, sl_rows = plan_geometry(lo, hi, num_radix_bits, 1.0)
+    bits_r, shift_r, sl_rows_r = plan_build_geometry(
+        lo, hi, part_bits, shift, sl_rows)
+
+    # R: partition + MXU bit deposit at the build geometry
+    rgeom = radix_ops.RadixGeom(chunk_rows=chunk_rows, part_bits=bits_r,
+                                lo=lo, hi=hi, shift=shift_r)
+    nchunks_r = rk.shape[0] // chunk
+    rpart, rstarts = radix_ops.partition_pass(rk, interpret=interpret,
+                                              geom=rgeom)
+    bgeom = _traced_probe_geom(bits_r, shift_r, sl_rows_r, lo, chunk_rows,
+                               nchunks_r)
+    rrow, rown = derive_descs(rstarts.reshape(nchunks_r, -1, LANES), bgeom)
+    bitmap = bitmap_build_pallas(rpart, rrow, rown, bgeom,
+                                 interpret=interpret)
+    # a run of L elements starting mid-row spans ceil(L/128)+1 rows, so
+    # the fit guarantee is L <= (c_rows-1)*128
+    ovf = (_max_run(rstarts, nchunks_r, bits_r)
+           > (bgeom.c_rows - 1) * LANES).astype(jnp.int32)
+
+    # S: partition + probe at the probe geometry
+    sgeom = radix_ops.RadixGeom(chunk_rows=chunk_rows, part_bits=part_bits,
+                                lo=lo, hi=hi, shift=shift)
+    nchunks_s = sk.shape[0] // chunk
+    spart, sstarts = radix_ops.partition_pass(sk, interpret=interpret,
+                                              geom=sgeom)
+    pgeom = _traced_probe_geom(part_bits, shift, sl_rows, lo, chunk_rows,
+                               nchunks_s)
+    srow, sown = derive_descs(sstarts.reshape(nchunks_s, -1, LANES), pgeom)
+    cnt = bitmap_probe_count(bitmap, spart, srow, sown, pgeom,
+                             interpret=interpret)
+    ovf = ovf + (_max_run(sstarts, nchunks_s, part_bits)
+                 > (pgeom.c_rows - 1) * LANES).astype(jnp.int32)
+    return cnt, ovf
+
+
 def plan_radix_join(r_key, s_key, lo: int, hi: int,
                     interpret: bool = False,
                     chunk_rows: int = CHUNK_ROWS,
-                    num_radix_bits: Optional[int] = None):
+                    num_radix_bits: Optional[int] = None,
+                    survivor_frac: Optional[float] = None):
     """Build a radix-join plan: bitmap, partition program, probe program.
 
     Requires unique R keys in [lo, hi] (caller checks stats).  Returns None
     if a partition run overflows the probe staging budget (heavy skew —
     caller falls back, the analogue of SKEW_HANDLING's bail-outs).
+
+    survivor_frac: fraction of S inside [lo, hi] (drives the fan-out cost
+    model, plan_geometry).  None = measure it with one plan-time device
+    pass over S (planning metadata, like the reference reading -q/|R|/|S|
+    from its CLI before the timed region starts).
     """
     if interpret:
         chunk_rows = min(chunk_rows, 1024)   # CPU-test speed; same semantics
-    part_bits, shift, sl_rows = plan_geometry(lo, hi, num_radix_bits)
+    chunk = chunk_rows * LANES
+    sk_in = radix_ops._chunk_pad(
+        s_key if isinstance(s_key, np.ndarray)
+        else jnp.asarray(s_key, jnp.int32), chunk)
+    if survivor_frac is None:
+        survivor_frac = float(jax.jit(
+            lambda k: jnp.mean(((k >= lo) & (k <= hi)).astype(jnp.float32))
+        )(sk_in))
+
+    # Survivor compaction (low selectivity): pass 0 moves each chunk's
+    # in-range keys to its head with ONE pack network (~half a split
+    # bit), the plan-time max live count fixes a static per-chunk output
+    # cap, and the full-fan-out partition then streams only the dense
+    # survivor buffer.  The reference drops filtered tuples during
+    # pass-1's scatter (parallel_radix_join_bloom.c:843); on TPU the
+    # drop pays off only if the expensive multi-bit routing never sees
+    # the dead tuples at all — which is exactly what this pass buys.
+    compact_cfg = None
+    nchunks0 = sk_in.shape[0] // chunk
+    if survivor_frac < 0.5 and nchunks0 > 0:
+        _, counts0 = jax.jit(lambda sk: radix_ops.compact_pass(
+            sk, lo, hi, chunk_rows, cap_rows=8, interpret=interpret))(sk_in)
+        live = np.asarray(counts0)[::8, 0].astype(np.int64)
+        max_live_rows = -(-int(live.max()) // LANES)
+        cap_rows = min(max((max_live_rows + 7) & ~7, 8), chunk_rows)
+        if nchunks0 * cap_rows <= (sk_in.shape[0] // LANES) * 6 // 10:
+            compact_cfg = cap_rows
+
+    if compact_cfg is not None:
+        # fan-out economics post-compaction: split and ladder both run on
+        # survivors only, so the optimum is the survivor_frac=1 geometry
+        part_bits, shift, sl_rows = plan_geometry(lo, hi, num_radix_bits,
+                                                  1.0)
+    else:
+        part_bits, shift, sl_rows = plan_geometry(lo, hi, num_radix_bits,
+                                                  survivor_frac)
     pgeom = radix_ops.RadixGeom(chunk_rows=chunk_rows, part_bits=part_bits,
                                 lo=lo, hi=hi, shift=shift)
-    chunk = chunk_rows * LANES
 
-    # R-side build: Pallas partition + MXU deposit (plan_bitmap_build);
-    # timed as a steady-state synced dispatch, like the other phases
+    # R-side build: Pallas partition + MXU deposit (plan_bitmap_build) at
+    # its OWN, finer geometry when the probe runs deep shifts (the MXU
+    # deposit scales with slice size; both tile the same global bitmap)
+    bits_r, shift_r, sl_rows_r = plan_build_geometry(
+        lo, hi, part_bits, shift, sl_rows)
     build_from, rk_in, _ = plan_bitmap_build(
-        r_key, lo, hi, part_bits, shift, sl_rows, interpret=interpret,
+        r_key, lo, hi, bits_r, shift_r, sl_rows_r, interpret=interpret,
         chunk_rows=chunk_rows)
     build_jit = jax.jit(build_from)
     build_scalar = jax.jit(
@@ -603,10 +799,28 @@ def plan_radix_join(r_key, s_key, lo: int, hi: int,
         build_usec = max(raw - floor, 0.2 * raw)
         build_scalar_fn = lambda c: build_scalar(rk_in, c)
 
+    if compact_cfg is not None:
+        cap_rows = compact_cfg
+        total_rows = nchunks0 * cap_rows
+        tgt_rows = -(-total_rows // chunk_rows) * chunk_rows
+        pad_rows = tgt_rows - total_rows
+
+        def s_eff(sk, chain):
+            ck, _ = radix_ops.compact_pass(sk + chain * 0, lo, hi,
+                                           chunk_rows, cap_rows=cap_rows,
+                                           interpret=interpret)
+            if pad_rows:
+                ck = jnp.concatenate(
+                    [ck, jnp.full((pad_rows, LANES), jnp.int32(PAD_KEY))])
+            return ck.reshape(-1)
+        nchunks = tgt_rows // chunk_rows
+    else:
+        def s_eff(sk, chain):
+            return sk + chain * 0
+        nchunks = nchunks0
+
     part = jax.jit(lambda sk, chain: radix_ops.partition_pass(
-        sk + chain * 0, interpret=interpret, geom=pgeom))
-    sk_in = radix_ops._chunk_pad(jnp.asarray(s_key, jnp.int32), chunk)
-    nchunks = sk_in.shape[0] // chunk
+        s_eff(sk, chain), interpret=interpret, geom=pgeom))
     s_part, starts = part(sk_in, jnp.int32(0))
 
     # one plan-time host sync: the max run length fixes the static window

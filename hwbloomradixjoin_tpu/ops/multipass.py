@@ -94,16 +94,22 @@ def _pass2_kernel_for(geom: Pass2Geom):
             mine = (key != PAD_KEY) \
                 & ((block >> (geom.hash_bits - geom.b1)) == b)
             sub = (block >> (geom.hash_bits - geom.b1 - geom.b2)) & (F2 - 1)
+            cat = jnp.where(mine, sub, F2)
+            cat_fn = None
         else:
             norm = key - jnp.int32(lo)
             mine = (norm >> shift1) == b       # window slack -> pad
             key = jnp.where(mine, key, jnp.int32(PAD_KEY))
-            norm = key - jnp.int32(lo)
-            sub = jax.lax.shift_right_logical(
-                norm.astype(jnp.uint32), jnp.uint32(shift2)
-            ).astype(jnp.int32) & (F2 - 1)
-        cat = jnp.where(mine, sub, F2)
-        cat_s, (key_s,) = radix_ops.split_chunk(cat, [key], geom.b2 + 1)
+
+            def cat_fn(k):
+                n2 = k - jnp.int32(lo)
+                sub = jax.lax.shift_right_logical(
+                    n2.astype(jnp.uint32), jnp.uint32(shift2)
+                ).astype(jnp.int32) & (F2 - 1)
+                return jnp.where(k != PAD_KEY, sub, F2)
+            cat = cat_fn(key)
+        cat_s, (key_s,) = radix_ops.split_chunk(cat, [key], geom.b2 + 1,
+                                                cat_fn=cat_fn)
         out_ref[:] = key_s[:cap]
         starts_ref[:] = radix_ops.sorted_starts_wide(cat_s, geom.cat2_rows)
     return kern

@@ -24,6 +24,7 @@ All functions here are jnp-level and run identically inside Pallas kernels
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -91,40 +92,53 @@ def _flat_exclusive_prefix(x):
     return (s - x) + row_excl
 
 
+ALIVE_BIT = 1 << 30   # python int: jnp constants get captured as tracers
+
+
 def _pack(arrs, sel, disp, direction: str):
     """Monotone pack: move selected elements by `disp` flat slots left/right.
 
     LSB-first log-shift routing (congestion-free for monotone packs).
     Returns (arrs', alive') — unselected slots become dead.
+
+    Routing state travels as ONE int32 per slot: M = disp | ALIVE_BIT for
+    live slots, 0 for dead — halving the shifted side-channel arrays vs
+    carrying (disp, alive) separately (displacements are < 2^30 by
+    construction: chunk sizes are bounded far below that).
     """
     n = arrs[0].shape[0] * LANES
     idx = _iota_flat(arrs[0].shape)
-    # alive mask kept as int32 0/1: rolling i1 vectors makes Mosaic round-trip
-    # them through i8 and trunci i8->i1 is unsupported in TC kernels
-    alive = sel.astype(jnp.int32)
+    M = jnp.where(sel, disp | ALIVE_BIT, 0)
     shift = _flat_shift_left if direction == "L" else _flat_shift_right
     k = 0
     while (1 << k) < n:
         d = 1 << k
         arrs_in = [shift(a, d) for a in arrs]
-        disp_in = shift(disp, d)
-        alive_in = shift(alive, d)
+        M_in = shift(M, d)
         # kill wrapped-in garbage at the boundary
         if direction == "L":
-            alive_in = jnp.where(idx < n - d, alive_in, 0)
+            M_in = jnp.where(idx < n - d, M_in, 0)
         else:
-            alive_in = jnp.where(idx >= d, alive_in, 0)
-        move_in = (alive_in != 0) & (((disp_in >> k) & 1) == 1)
-        stay = (alive != 0) & (((disp >> k) & 1) == 0)
+            M_in = jnp.where(idx >= d, M_in, 0)
+        # move_in: incoming slot alive AND bit k of its displacement set;
+        # stay: resident slot alive AND bit k clear — one and+compare each
+        probe = ALIVE_BIT | (1 << k)
+        move_in = (M_in & probe) == probe
+        stay = (M & probe) == ALIVE_BIT
         arrs = [jnp.where(move_in, ai, a) for a, ai in zip(arrs, arrs_in)]
-        disp = jnp.where(move_in, disp_in, disp)
-        alive = (stay | move_in).astype(jnp.int32)
+        M = jnp.where(move_in, M_in, jnp.where(stay, M, 0))
         k += 1
-    return arrs, alive != 0
+    return arrs, (M & ALIVE_BIT) != 0
 
 
-def split_bit(cat, arrs, bit_idx: int):
-    """One stable split step: reorder by bit `bit_idx` of `cat` (0s first)."""
+def split_bit(cat, arrs, bit_idx: int, route_cat: bool = True):
+    """One stable split step: reorder by bit `bit_idx` of `cat` (0s first).
+
+    With route_cat=False the category does NOT ride the routing network
+    (the caller recomputes it from the routed key each bit — ~6 VPU ops vs
+    ~2*log2(chunk) shift stages of dead weight); the first return is then
+    None.
+    """
     idx = _iota_flat(cat.shape)
     bit = (cat >> bit_idx) & 1
     zeros = 1 - bit
@@ -132,31 +146,46 @@ def split_bit(cat, arrs, bit_idx: int):
     # total zeros in the chunk; jnp.sum (not a [-1,-1] scalar extract, which
     # lowers to dynamic_slice — unimplemented in Mosaic TC kernels)
     total0 = jnp.sum(zeros)
-    all_arrs = [cat] + list(arrs)
+    all_arrs = ([cat] if route_cat else []) + list(arrs)
     # zeros: dst = excl0 (move left by idx - excl0)
     packedL, aliveL = _pack(all_arrs, bit == 0, idx - excl0, "L")
     # ones: dst = total0 + (idx - excl0) (move right by total0 - excl0)
     packedR, aliveR = _pack(all_arrs, bit == 1, total0 - excl0, "R")
     out = [jnp.where(aliveL, L, R) for L, R in zip(packedL, packedR)]
-    return out[0], out[1:]
+    if route_cat:
+        return out[0], out[1:]
+    return None, out
 
 
-def split_chunk(cat, arrs, nbits: int):
+def split_chunk(cat, arrs, nbits: int, cat_fn=None):
     """Stable LSD bit-serial counting split by `nbits`-bit categories.
 
     The bit index is a dynamic fori_loop variable (the routing-stage shift
     distances inside split_bit stay static), keeping compiled program size
     independent of nbits.
+
+    cat_fn, when given, recomputes the category from the routed arrays
+    (cat_fn(*arrs) — normally bucket-of-key) so the category never rides
+    the shift network; without it, cat is routed alongside arrs (needed
+    when cat is expensive to recompute, e.g. hash-derived buckets).
     """
     arrs = list(arrs)
 
-    def body(b, carry):
-        cat, arrs = carry
-        cat, arrs = split_bit(cat, arrs, b)
-        return (cat, arrs)
+    if cat_fn is None:
+        def body(b, carry):
+            cat, arrs = carry
+            cat, arrs = split_bit(cat, arrs, b)
+            return (cat, arrs)
 
-    cat, arrs = jax.lax.fori_loop(0, nbits, body, (cat, arrs))
-    return cat, arrs
+        cat, arrs = jax.lax.fori_loop(0, nbits, body, (cat, arrs))
+        return cat, arrs
+
+    def body(b, arrs):
+        _, arrs = split_bit(cat_fn(*arrs), arrs, b, route_cat=False)
+        return arrs
+
+    arrs = jax.lax.fori_loop(0, nbits, body, arrs)
+    return cat_fn(*arrs), arrs
 
 
 def sorted_counts(cat_sorted, num_cats: int):
@@ -249,6 +278,66 @@ def sorted_starts_wide(cat_sorted, cat_rows: int):
     return cur
 
 
+def _compact_kernel_for(lo: int, hi: int, cap_rows: int, chunk_rows: int):
+    def kern(kin_ref, kout_ref, cnt_ref):
+        key = kin_ref[:]
+        live = (key >= lo) & (key <= hi)
+        idx = _iota_flat(key.shape)
+        excl = _flat_exclusive_prefix(live.astype(jnp.int32))
+        # ONE monotone pack (live keys move left, stable); the dead tail
+        # becomes PAD — half the routing work of a full split bit
+        (pk,), alive = _pack([key], live, idx - excl, "L")
+        out = jnp.where(alive, pk, jnp.int32(PAD_KEY))
+        kout_ref[:] = out[:cap_rows]
+        cnt_ref[:] = jnp.full((8, LANES), jnp.sum(live.astype(jnp.int32)),
+                              jnp.int32)
+    return kern
+
+
+def compact_pass(keys_flat, lo: int, hi: int, chunk_rows: int,
+                 cap_rows: Optional[int] = None, interpret: bool = False):
+    """Live/dead compaction: each chunk's in-range keys move to its head.
+
+    The cheap prune stream for low-selectivity workloads: out-of-range
+    (and bloom-pruned PAD) tuples are dropped by ONE pack network instead
+    of riding every split bit — the reference drops filtered tuples
+    during pass-1 the same way (parallel_radix_join_bloom.c:798-849);
+    here the surviving prefixes are then densified and the full-fan-out
+    partition runs on survivors only.
+
+    cap_rows truncates each chunk's output to its first cap_rows rows
+    (plan-time-known max live rows), shrinking the written stream to the
+    survivor footprint.  Returns (out (nchunks*cap_rows, 128), counts
+    (nchunks*8, 128)) with counts[8c, 0] = live count of chunk c.
+    """
+    n = keys_flat.shape[0]
+    chunk = chunk_rows * LANES
+    assert n % chunk == 0, n
+    nchunks = n // chunk
+    cap = chunk_rows if cap_rows is None else cap_rows
+    assert 8 <= cap <= chunk_rows and cap % 8 == 0, cap
+    k2 = keys_flat.reshape(nchunks * chunk_rows, LANES)
+    return pl.pallas_call(
+        _compact_kernel_for(lo, hi, cap, chunk_rows),
+        grid=(nchunks,),
+        in_specs=[pl.BlockSpec((chunk_rows, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((cap, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nchunks * cap, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nchunks * 8, LANES), jnp.int32),
+        ),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(k2)
+
+
 CHUNK_ROWS = 1024          # 128K elements per partition chunk
 PART_BITS = 12             # pass-1 fan-out: 4096 partitions
 SEG_ROWS = 8               # gather segment: 8 rows = 1024 elements
@@ -293,6 +382,26 @@ class RadixGeom:
 DEFAULT_GEOM = RadixGeom()
 
 
+def geom_cat_fn(geom):
+    """bucket-of-key category function for range-partition geometries.
+
+    Cheap enough (~6 VPU ops) to recompute after every split bit instead
+    of routing the category through the shift network (split_chunk
+    cat_fn).  Hash-derived buckets (geom.hash_seed) are NOT cheap to
+    recompute — those geometries route cat instead.
+    """
+    def cat_fn(key, *rest):
+        valid = key != PAD_KEY
+        if geom.hi is not None:
+            valid = valid & (key >= geom.lo) & (key <= geom.hi)
+        norm = key - jnp.int32(geom.lo)
+        bucket = jax.lax.shift_right_logical(
+            norm.astype(jnp.uint32), jnp.uint32(geom.shift)
+        ).astype(jnp.int32) & ((1 << geom.part_bits) - 1)
+        return jnp.where(valid, bucket, 1 << geom.part_bits)
+    return cat_fn
+
+
 def _partition_kernel_for(geom, with_payload: bool = False):
     def _partition_kernel(kin_ref, *rest):
         if with_payload:
@@ -300,27 +409,26 @@ def _partition_kernel_for(geom, with_payload: bool = False):
         else:
             (kout_ref, starts_ref) = rest
         key = kin_ref[:]
-        valid = key != PAD_KEY
         if geom.hash_seed is not None:
             from hwbloomradixjoin_tpu.ops import hashes
+            valid = key != PAD_KEY
             block = hashes.hash_crc(jnp.uint32(geom.hash_seed), key) \
                 & jnp.uint32((1 << geom.hash_bits) - 1)
             bucket = (block >> (geom.hash_bits - geom.part_bits)
                       ).astype(jnp.int32)
+            cat = jnp.where(valid, bucket, 1 << geom.part_bits)
+            cat_fn = None
         else:
-            if geom.hi is not None:
-                valid = valid & (key >= geom.lo) & (key <= geom.hi)
-            norm = key - jnp.int32(geom.lo)
-            bucket = jax.lax.shift_right_logical(
-                norm.astype(jnp.uint32), jnp.uint32(geom.shift)
-            ).astype(jnp.int32) & ((1 << geom.part_bits) - 1)
-        cat = jnp.where(valid, bucket, 1 << geom.part_bits)
+            cat_fn = geom_cat_fn(geom)
+            cat = cat_fn(key)
         if with_payload:
             cat_s, (key_s, pay_s) = split_chunk(cat, [key, pin_ref[:]],
-                                                geom.part_bits + 1)
+                                                geom.part_bits + 1,
+                                                cat_fn=cat_fn)
             pout_ref[:] = pay_s
         else:
-            cat_s, (key_s,) = split_chunk(cat, [key], geom.part_bits + 1)
+            cat_s, (key_s,) = split_chunk(cat, [key], geom.part_bits + 1,
+                                          cat_fn=cat_fn)
         kout_ref[:] = key_s
         starts_ref[:] = sorted_starts_wide(cat_s, geom.cat_rows)
     return _partition_kernel

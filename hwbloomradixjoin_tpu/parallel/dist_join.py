@@ -99,10 +99,14 @@ def _or_across_devices(x, n_dev: int = 1):
 
 
 @partial(jax.jit, static_argnames=("n_dev", "cap", "bloom_args",
-                                   "skew_handling"))
+                                   "skew_handling", "local_engine",
+                                   "key_lo", "key_hi", "interpret"))
 def _dist_join_step(rk, rp, sk, sp, n_dev: int, cap: int,
                     bloom_args: Optional[BloomArgs],
-                    skew_handling: bool = False):
+                    skew_handling: bool = False,
+                    local_engine: str = "sortscan",
+                    key_lo: int = 0, key_hi: int = 0,
+                    interpret: bool = False):
     """Per-device SPMD body (runs under shard_map)."""
     s_after = jnp.int32(-1)
     if bloom_args is not None:
@@ -140,19 +144,42 @@ def _dist_join_step(rk, rp, sk, sp, n_dev: int, cap: int,
         heavy_cnt = h_ovf
         heavy_cnt = jax.lax.psum(heavy_cnt, AXIS)
 
-    # PAD tuples (bloom-pruned / capacity padding) are dropped at pack time —
-    # the point of pruning before the shuffle is that they cross no wire.
-    (rk_b, rp_b), r_ovf = _pack_by_dest(rd, r_valid, cap, n_dev, rk, rp)
-    (sk_b, sp_b), s_ovf = _pack_by_dest(sd, s_valid, cap, n_dev, sk, sp)
+    if local_engine == "pallas" and n_dev == 1:
+        # single device: no shuffle needed — the local join IS the join
+        rk_x, rp_x = jnp.where(r_valid, rk, PAD), rp
+        sk_x, sp_x = jnp.where(s_valid, sk, PAD), sp
+        r_ovf = s_ovf = jnp.int32(0)
+    else:
+        # PAD tuples (bloom-pruned / capacity padding) are dropped at pack
+        # time — the point of pruning before the shuffle is that they
+        # cross no wire.
+        (rk_b, rp_b), r_ovf = _pack_by_dest(rd, r_valid, cap, n_dev, rk, rp)
+        (sk_b, sp_b), s_ovf = _pack_by_dest(sd, s_valid, cap, n_dev, sk, sp)
 
-    rk_x = jax.lax.all_to_all(rk_b, AXIS, 0, 0, tiled=False).reshape(-1)
-    rp_x = jax.lax.all_to_all(rp_b, AXIS, 0, 0, tiled=False).reshape(-1)
-    sk_x = jax.lax.all_to_all(sk_b, AXIS, 0, 0, tiled=False).reshape(-1)
-    sp_x = jax.lax.all_to_all(sp_b, AXIS, 0, 0, tiled=False).reshape(-1)
+        rk_x = jax.lax.all_to_all(rk_b, AXIS, 0, 0, tiled=False).reshape(-1)
+        rp_x = jax.lax.all_to_all(rp_b, AXIS, 0, 0, tiled=False).reshape(-1)
+        sk_x = jax.lax.all_to_all(sk_b, AXIS, 0, 0, tiled=False).reshape(-1)
+        sp_x = jax.lax.all_to_all(sp_b, AXIS, 0, 0, tiled=False).reshape(-1)
 
     if rk_h is not None:
         rk_x = jnp.concatenate([rk_x, rk_h[0]])
         rp_x = jnp.concatenate([rp_x, rk_h[1]])
+
+    if local_engine == "pallas":
+        # per-device local join = the Pallas bitmap engine, fully traced
+        # (ops/bitmap_join.traced_radix_count) — the SPMD layer and the
+        # single-chip engine finally compose (VERDICT r4 item 4).  Count-
+        # only, like the reference's default output (main.c:117-123);
+        # overflow => static windows missed a heavy run, count invalid.
+        from hwbloomradixjoin_tpu.ops import bitmap_join
+        cnt, jovf = bitmap_join.traced_radix_count(
+            rk_x, sk_x, key_lo, key_hi, interpret=interpret)
+        sr = ss = jnp.uint32(0)
+        cnt = jax.lax.psum(cnt, AXIS)
+        sr = jax.lax.psum(sr, AXIS)
+        ss = jax.lax.psum(ss, AXIS)
+        ovf = jax.lax.psum(r_ovf + s_ovf + jovf, AXIS) + heavy_cnt
+        return cnt, sr, ss, s_after, ovf
 
     # PAD rows on the R side must not join with PAD rows on the S side:
     # retag S pads to a second sentinel.
@@ -167,25 +194,39 @@ def _dist_join_step(rk, rp, sk, sp, n_dev: int, cap: int,
 
 def dist_join_count(mesh, rk, rp, sk, sp,
                     bloom_args: Optional[BloomArgs] = None,
-                    pad_factor: float = 2.0, skew_handling: bool = False):
+                    pad_factor: float = 2.0, skew_handling: bool = False,
+                    local_engine: str = "sortscan",
+                    key_range=None, interpret: bool = False):
     """Distributed join count over `mesh` (inputs sharded on axis "d").
 
     Returns (count, sum_rpay, sum_spay, s_after_filter, overflow); overflow>0
     means the capacity pad was too small for the hash skew — results are then
     invalid and the caller should retry with a larger pad_factor (or enable
     skew_handling, which splits heavy destinations).
+
+    local_engine="pallas" runs the per-device local join on the Pallas
+    bitmap engine (count-only, unique R required; checksums return 0);
+    the default sort-scan local join carries payload checksums.
     """
     n_dev = mesh.shape[AXIS]
     n_loc = rk.shape[0] // n_dev
     ns_loc = sk.shape[0] // n_dev
     cap = int(max(n_loc, ns_loc) / n_dev * pad_factor) + 16
+    if local_engine == "pallas" and key_range is None:
+        key_range = (int(jnp.min(jnp.asarray(rk))),
+                     int(jnp.max(jnp.asarray(rk))))
+    key_lo, key_hi = key_range if key_range is not None else (0, 0)
 
     step = jax.shard_map(
         partial(_dist_join_step, n_dev=n_dev, cap=cap, bloom_args=bloom_args,
-                skew_handling=skew_handling),
+                skew_handling=skew_handling, local_engine=local_engine,
+                key_lo=key_lo, key_hi=key_hi, interpret=interpret),
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
         out_specs=(P(), P(), P(), P(), P()),
+        # pallas_call outputs carry no varying-mesh-axes annotation; the
+        # collectives in the body make the replication explicit anyway
+        check_vma=(local_engine != "pallas"),
     )
     sh = NamedSharding(mesh, P(AXIS))
 

@@ -40,15 +40,17 @@ def chip_model(device=None) -> ChipModel:
 
 
 # Measured VPU cost model for data-dependent routing on this hardware,
-# recalibrated round 4 against BENCH_r04 phase times (16M⋈128M, v5e):
-# the bit-serial split network costs ~0.285 ns/elem per routed bit (a
-# structural floor: ~log2(chunk) whole-array VMEM round trips per bit —
-# the TPU has no cross-sublane gather, so any permutation pays the
-# log-shift network); the VMEM slice probe ladder ~0.10 + 0.004*sl_rows
-# ns/elem; the MXU bit-deposit ~0.5 ns/elem on top of R's split.  These
-# are cost-model PREDICTIONS (report() prints measured/predicted as
-# "model"); only the HBM roofline is reported as attainment.
-SPLIT_NS_PER_ELEM_BIT = 0.285
+# recalibrated round 5 (tools/part_bench.py, v5e): the bit-serial split
+# network costs ~0.185 ns/elem per routed bit after the round-5 rewrite
+# (category recomputed per bit instead of routed; displacement+liveness
+# packed into one int32 — ops/radix.py _pack/split_chunk); the live/dead
+# compaction pass (ONE pack network) ~0.10 ns/elem; the VMEM slice probe
+# ladder ~0.10 + 0.004*sl_rows ns/elem; the MXU bit-deposit ~0.5 ns/elem
+# on top of R's split.  These are cost-model PREDICTIONS (report()
+# prints measured/predicted as "model"); only the HBM roofline is
+# reported as attainment.
+SPLIT_NS_PER_ELEM_BIT = 0.185
+COMPACT_NS_PER_ELEM = 0.10
 LADDER_NS_BASE = 0.10
 LADDER_NS_PER_ROW = 0.004
 DEPOSIT_NS = 0.5           # MXU bit-deposit: one-hot build + 2 matmuls/row
@@ -105,11 +107,21 @@ def join_costs(n_r: int, n_s: int, passes: int = 0, tuple_bytes: int = 8,
         else 0.0
     ladder_s = (LADDER_NS_BASE + LADDER_NS_PER_ROW * sl_rows) * 1e-9 \
         if sl_rows else 0.0
+    # survivor compaction (plan_radix_join): when most of S is out of
+    # range, pass 0 compacts at COMPACT_NS and the split bits stream only
+    # the survivors
+    if s_live < n_s // 2:
+        part_s_vpu = (n_s * COMPACT_NS_PER_ELEM * 1e-9
+                      + s_live * split_s) * max(passes, 1)
+        part_s_bytes = (2 * n_s + 2 * s_live) * kb * passes
+    else:
+        part_s_vpu = n_s * split_s * passes
+        part_s_bytes = 2 * passes * n_s * kb
     return {
         "partition_R": OpCost("partition_R", 2 * passes * n_r * kb,
                               elems=n_r, vpu_s=n_r * split_s * passes),
-        "partition_S": OpCost("partition_S", 2 * passes * n_s * kb,
-                              elems=n_s, vpu_s=n_s * split_s * passes),
+        "partition_S": OpCost("partition_S", part_s_bytes,
+                              elems=n_s, vpu_s=part_s_vpu),
         # build = partition R + MXU bit deposit (one-hot matmuls); the
         # deposit's VPU side is the one-hot construction (~2 ops/elem
         # per lane of the compare matrices, measured with the kernel)

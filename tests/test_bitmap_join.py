@@ -438,7 +438,83 @@ def test_probe_many_chunks_per_step():
     n_r = 60000
     rk = rng.permutation(np.arange(1, n_r + 1)).astype(np.int32)
     sk = rng.integers(1, 80 * n_r, 600000).astype(np.int32)
+    # survivor_frac=1.0 pins the direct (no-compaction) path, where tiny
+    # pruned runs leave many chunk slots per probe step; the compaction
+    # path densifies instead (covered by test_deep_shift_geometry_exact)
     plan = bitmap_join.plan_radix_join(rk, sk, 1, n_r, interpret=True,
-                                       chunk_rows=64)
+                                       chunk_rows=64, survivor_frac=1.0)
     assert plan is not None and plan.geom.ch_per_step > 32
     assert plan.count() == int(np.isin(sk, rk).sum())
+
+
+def test_deep_shift_geometry_exact():
+    """Deep-shift probe slices (sl_rows > 128, fori-loop ladder) with the
+    decoupled finer build geometry: exact count on a low-selectivity
+    2M-key-range workload (the north-star regime, shrunk)."""
+    import jax.numpy as jnp
+    from hwbloomradixjoin_tpu.ops import bitmap_join
+
+    rng = np.random.default_rng(7)
+    lo, hi = 1, (1 << 21)
+    rk = rng.choice(np.arange(lo, hi + 1), 4000, replace=False)\
+        .astype(np.int32)
+    # ~10% of S inside [lo, hi] (rest pruned in pass 1), some hits
+    sk = np.concatenate([
+        rng.choice(rk, 1500),
+        rng.integers(lo, hi + 1, 1500),
+        rng.integers(hi + 1, 1 << 28, 27000),
+    ]).astype(np.int32)
+    rng.shuffle(sk)
+    pb, shift, slr = bitmap_join.plan_geometry(lo, hi, 1)
+    assert slr > 128                       # fori ladder path
+    bits_r, shift_r, slr_r = bitmap_join.plan_build_geometry(
+        lo, hi, pb, shift, slr)
+    assert (bits_r, shift_r) != (pb, shift)  # decoupled build geometry
+    assert (1 << bits_r) * slr_r == (1 << pb) * slr  # same global bitmap
+    plan = bitmap_join.plan_radix_join(
+        jnp.asarray(rk), jnp.asarray(sk), lo, hi, interpret=True,
+        num_radix_bits=1)
+    assert plan is not None
+    want = int(np.isin(sk, rk).sum())
+    assert plan.count() == want
+    assert plan.full_count() == want
+
+
+def test_plan_geometry_survivor_frac_drives_fanout():
+    """Low survivor fraction shifts the fan-out optimum to fewer bits."""
+    from hwbloomradixjoin_tpu.ops import bitmap_join
+
+    lo, hi = 1, (1 << 27)
+    pb_all, _, _ = bitmap_join.plan_geometry(lo, hi, survivor_frac=1.0)
+    pb_few, _, slr = bitmap_join.plan_geometry(lo, hi, survivor_frac=0.01)
+    assert pb_few < pb_all
+    assert slr > 128
+
+
+def test_full_range_tier_selection():
+    """Spans beyond the count-table cap (HT_MAX_SLOTS) still ride the
+    bitmap engine: 1 bit/slot serves the full int32 key space
+    (--full-range workloads, src/main.c:607-615)."""
+    from hwbloomradixjoin_tpu.models import registry
+
+    rng = np.random.default_rng(3)
+    span_hi = (1 << 28) + 7            # > HT_MAX_SLOTS, < BITMAP_MAX_SPAN
+    rk = rng.choice(np.arange(1, span_hi, dtype=np.int64), 3000,
+                    replace=False).astype(np.int32)
+    stats = KeyStats(min_key=1, max_key=span_hi - 1, is_unique=True)
+    R = Relation.from_numpy(rk, np.arange(3000, dtype=np.int32), stats=stats)
+    assert registry._key_range(R) is None
+    wide = registry._key_range(R, registry.BITMAP_MAX_SPAN,
+                               require_nonneg=True)
+    assert wide == (1, span_hi - 1)
+    cfg = EngineConfig(interpret=True)
+    tier = registry.select_tier(registry.ALGORITHMS["PRO"], R, cfg,
+                                None, wide)
+    assert tier == "pallas_radix"
+    # negative lo disqualifies the wide bitmap range (normalized keys
+    # must stay in int32)
+    stats2 = KeyStats(min_key=-5, max_key=span_hi - 1, is_unique=True)
+    R2 = Relation.from_numpy(rk, np.arange(3000, dtype=np.int32),
+                             stats=stats2)
+    assert registry._key_range(R2, registry.BITMAP_MAX_SPAN,
+                               require_nonneg=True) is None

@@ -81,3 +81,28 @@ def test_multiprocess_distributed_cpu():
         capture_output=True, text=True, timeout=600, env=env, cwd=root)
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "MULTIPROC PASS" in proc.stdout
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 8])
+def test_dist_pallas_local_engine(eight_devices, workload, n_dev):
+    """SPMD shuffle + Pallas bitmap local join compose (count-only path):
+    the per-device join is traced_radix_count, not the XLA sort tier."""
+    rk, rp, sk, sp, want = workload
+    mesh = mesh_lib.make_mesh(n_dev)
+    cnt, sr, ss, s_after, ovf = dist_join.dist_join_count(
+        mesh, rk, rp, sk, sp, local_engine="pallas",
+        key_range=(1, 8_192), interpret=True)
+    assert int(ovf) == 0
+    assert int(cnt) == want[0]
+
+
+def test_dist_pallas_with_bloom_prune(eight_devices, workload):
+    rk, rp, sk, sp, want = workload
+    mesh = mesh_lib.make_mesh(4)
+    args = BloomArgs(variant=BloomVariant.BLOCKED, m=1 << 20, k=2, B=512)
+    cnt, sr, ss, s_after, ovf = dist_join.dist_join_count(
+        mesh, rk, rp, sk, sp, bloom_args=args, local_engine="pallas",
+        key_range=(1, 8_192), interpret=True)
+    assert int(ovf) == 0
+    assert int(cnt) == want[0]
+    assert want[0] <= int(s_after) < sk.shape[0]
