@@ -77,6 +77,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace of the timed join "
                         "into DIR (xprof/tensorboard; replaces the "
                         "reference's perf-counter hooks)")
+    p.add_argument("--engine-local-join", choices=("sortscan", "pallas"),
+                   default="sortscan",
+                   help="per-device local join engine in distributed mode: "
+                        "sortscan (XLA, carries checksums) or pallas "
+                        "(bitmap engine, count-only fast path)")
     p.add_argument("--engine-devices", type=int, default=0,
                    help="run the distributed SPMD join over an N-device "
                         "mesh (psum histograms + all_to_all shuffle; bloom "
@@ -100,15 +105,27 @@ def _run_distributed(args, rk, rp, sk, sp, bloom_args):
     mesh_lib.init_distributed()
     mesh = mesh_lib.make_mesh(args.engine_devices)
 
+    import jax as _jax
+    eng = getattr(args, "engine_local_join", "sortscan")
+    kw = dict(bloom_args=bloom_args, local_engine=eng,
+              interpret=_jax.default_backend() != "tpu")
+
     # warm: compile + sharding setup excluded from the timed repeats
     cnt, sr, ss, s_after, ovf = dist_join.dist_join_count(
-        mesh, rk, rp, sk, sp, bloom_args=bloom_args)
+        mesh, rk, rp, sk, sp, **kw)
+    if eng == "pallas" and int(ovf):
+        # static-window overflow (heavy key skew): portable local join
+        print("[WARN ] pallas local join window overflow; "
+              "falling back to sortscan")
+        kw["local_engine"] = "sortscan"
+        cnt, sr, ss, s_after, ovf = dist_join.dist_join_count(
+            mesh, rk, rp, sk, sp, **kw)
     int(cnt)
     total = None
     for rep in range(max(1, args.engine_repeats)):
         t0 = time.perf_counter()
         cnt, sr, ss, s_after, ovf = dist_join.dist_join_count(
-            mesh, rk, rp, sk, sp, bloom_args=bloom_args)
+            mesh, rk, rp, sk, sp, **kw)
         cnt = int(cnt)
         dt = (time.perf_counter() - t0) * 1e6
         total = dt if total is None else min(total, dt)

@@ -175,7 +175,7 @@ def select_tier(spec: AlgoSpec, R: Relation, cfg: EngineConfig,
 
 def _phase_fns(spec: AlgoSpec, cfg: EngineConfig,
                bloom_args: Optional[BloomArgs], tier: str, key_range,
-               wide_pays=None):
+               wide_pays=None, mat_cap=None):
     """Build (phases, fused) where phases = [(phase_name, fn), ...].
 
     Each phase fn is jittable; fn_i consumes the previous phase's outputs.
@@ -241,8 +241,13 @@ def _phase_fns(spec: AlgoSpec, cfg: EngineConfig,
     if tier == "materialize":
         def fused(rk, rkh, rp, sk, skh, sp, chain):
             sk2, s_after = prune(rk, sk)
-            cnt, out_r, out_s, out_k = xla_join.sort_scan_materialize(
-                rk, rp, sk2, sp)
+            if mat_cap is None:            # unique R (declared stats)
+                cnt, out_r, out_s, out_k = xla_join.sort_scan_materialize(
+                    rk, rp, sk2, sp)
+            else:                          # non-unique: all-pairs expansion
+                cnt, out_r, out_s, out_k = \
+                    xla_join.sort_scan_materialize_multi(
+                        rk, rp, sk2, sp, mat_cap)
             return cnt + chain * 0, out_r, out_s, out_k, s_after
         return [], fused
 
@@ -524,6 +529,106 @@ def _run_pallas_prho(spec: AlgoSpec, R: Relation, S: Relation,
     return result, stats, (sr, ss)
 
 
+def _run_pallas_key8b(spec: AlgoSpec, R: Relation, S: Relation,
+                      cfg: EngineConfig, bloom_args: Optional[BloomArgs],
+                      inner_repeats: int):
+    """KEY_8B (16-byte tuples) on the Pallas bitmap engine.
+
+    The reference's --enable-key8B widens tuples to int64 keys/payloads
+    (types.h:22-28) but its generators still draw key VALUES from
+    [1, INT_MAX] (workload A, rerun-experiments.sh:52-60), so the high
+    words are uniformly zero.  When a plan-time scan confirms that, the
+    join runs on the low-word columns through the 32-bit bitmap engine —
+    columnar layout makes the wide-tuple case a column-projection, not a
+    different kernel (the TPU answer to the reference's KEY_8B compile
+    fork).  Count-only; 64-bit-range keys fall back to the XLA tier.
+    """
+    if spec.family != "radix" or not cfg.radix.use_pallas \
+            or not (jax.default_backend() == "tpu" or cfg.interpret) \
+            or cfg.materialize:
+        return None
+    if R.stats is None or not R.stats.is_unique:
+        return None
+    # plan-time metadata scan: all high words zero <=> values in [0, 2^31)
+    if int(jax.jit(lambda a, b: jnp.any(a != 0) | jnp.any(b != 0))(
+            R.key_hi, S.key_hi)):
+        return None
+    key_range = _key_range(
+        Relation(key=R.key, payload=R.payload, stats=R.stats),
+        BITMAP_MAX_SPAN, require_nonneg=True)
+    if key_range is None:
+        return None
+    R32 = Relation(key=R.key, payload=R.payload, stats=R.stats)
+    S32 = Relation(key=S.key, payload=S.payload)
+    out = _run_pallas_radix(spec, R32, S32, cfg, bloom_args, inner_repeats,
+                            key_range)
+    if out is None:
+        return None
+    result, stats, _ = out
+    stats.tier = "pallas_key8b"
+    return result, stats, (0, 0)
+
+
+def _run_pallas_materialize(spec: AlgoSpec, R: Relation, S: Relation,
+                            cfg: EngineConfig,
+                            bloom_args: Optional[BloomArgs],
+                            inner_repeats: int, key_range):
+    """Materialization on the Pallas engine (unique R).
+
+    ops/prho_join.plan_materialize_join: count/pay-table build + kv
+    partition + pair-emitting probe as ONE device program; matched pairs
+    land in a staged-order image (PAD elsewhere) and are compacted on
+    host for JoinResult/Out.tbl (the reference's chained result buffers,
+    tuple_buffer.h:92-108, are likewise materialize-then-walk).  Returns
+    None for non-unique R or window overflow — XLA sort tier fallback.
+    """
+    import numpy as np
+
+    from hwbloomradixjoin_tpu.ops import prho_join
+
+    interpret = cfg.interpret or jax.default_backend() != "tpu"
+    lo, hi = key_range
+    t0 = time.perf_counter()
+    sk_in, s_after, prune_usec = _bloom_prologue(R, S, bloom_args,
+                                                 interpret,
+                                                 allow_pallas=False)
+    plan = prho_join.plan_materialize_join(
+        R.key, R.payload, sk_in, S.payload, lo, hi, interpret=interpret,
+        num_radix_bits=cfg.radix.num_radix_bits)
+    if plan is None:
+        return None
+    fn, geom = plan
+    out = fn(jnp.int32(0))              # compile + warm
+    cnt = int(out[3][0, 0])
+    compile_usec = (time.perf_counter() - t0) * 1e6
+
+    floor = _bj.dispatch_floor_usec()
+    total_usec = best_raw = None
+    for i in range(max(1, inner_repeats)):
+        t0 = time.perf_counter()
+        out = fn(jnp.int32(i + 1))
+        cnt = int(out[3][0, 0])
+        raw = (time.perf_counter() - t0) * 1e6
+        dt = max(raw - floor, 0.2 * raw) + prune_usec
+        if total_usec is None or dt < total_usec:
+            total_usec, best_raw = dt, raw + prune_usec
+
+    kk = np.asarray(out[2]).ravel()
+    mask = kk != Relation.PAD_KEY
+    result = JoinResult(
+        total_results=cnt,
+        r_payload=np.asarray(out[0]).ravel()[mask],
+        s_payload=np.asarray(out[1]).ravel()[mask],
+        s_after_filter=None if s_after < 0 else s_after)
+    stats = JoinStats(
+        total_usec=total_usec, probe_usec=total_usec,
+        result=cnt, num_s_tuples=S.capacity,
+        s_after_filter=result.s_after_filter,
+        compile_usec=compile_usec, tier="pallas_materialize",
+        raw_total_usec=best_raw, floor_usec=floor)
+    return result, stats, (0, 0)
+
+
 def run_join(name: str, R: Relation, S: Relation,
              cfg: EngineConfig = EngineConfig(),
              bloom_args: Optional[BloomArgs] = None,
@@ -549,6 +654,21 @@ def run_join(name: str, R: Relation, S: Relation,
         # (HT_MAX_SLOTS) must not gate it — read the range off the stats
         key_range = (int(R.stats.min_key), int(R.stats.max_key))
 
+    if tier == "key8b":
+        out = _run_pallas_key8b(spec, R, S, cfg, bloom_args, inner_repeats)
+        if out is not None:
+            return out
+        # 64-bit-range keys / non-unique builds: XLA wide tier below
+
+    if tier == "materialize" and key_range is not None \
+            and cfg.radix.use_pallas \
+            and (jax.default_backend() == "tpu" or cfg.interpret):
+        out = _run_pallas_materialize(spec, R, S, cfg, bloom_args,
+                                      inner_repeats, key_range)
+        if out is not None:
+            return out
+        # non-unique R / overflow: the XLA sort tier materializes below
+
     if tier == "pallas_radix":
         out = _run_pallas_radix(spec, R, S, cfg, bloom_args, inner_repeats,
                                 wide_range)
@@ -567,8 +687,20 @@ def run_join(name: str, R: Relation, S: Relation,
         sph = S.payload_hi if S.payload_hi is not None \
             else jnp.zeros_like(S.payload)
         wide_pays = (R.payload_hi, sph)
+    mat_cap = None
+    if tier == "materialize" and not (R.stats is not None
+                                      and R.stats.is_unique):
+        # non-unique (or undeclared) build side: the unique-R compaction
+        # would silently drop pairs — pre-count to size the all-pairs
+        # expansion (plan-time metadata, like the reference sizing its
+        # chained result buffers)
+        c0, _, _ = jax.jit(xla_join.sort_scan_count)(
+            R.key, R.payload, jnp.where(S.key == jnp.int32(Relation.PAD_KEY),
+                                        jnp.int32(Relation.PAD_KEY + 1),
+                                        S.key), S.payload)
+        mat_cap = max(int(c0), 1)
     phases, fused = _phase_fns(spec, cfg, bloom_args, tier, key_range,
-                               wide_pays=wide_pays)
+                               wide_pays=wide_pays, mat_cap=mat_cap)
 
     zeros = jnp.zeros(0, jnp.int32)
     rkh = R.key_hi if R.key_hi is not None else zeros

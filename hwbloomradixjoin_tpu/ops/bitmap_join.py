@@ -488,8 +488,12 @@ def plan_bitmap_build(r_key, lo: int, hi: int, part_bits: int, shift: int,
     max run.  Returns None on heavy R skew (cannot happen for unique
     keys with sane geometry, but guarded like the probe).
     """
+    # R streams contain no real out-of-range keys (planner gate), so the
+    # pad category can be dropped (one fewer split bit) when PAD's wrapped
+    # norm cannot alias a bucket
     pgeom = radix_ops.RadixGeom(chunk_rows=chunk_rows, part_bits=part_bits,
-                                lo=lo, hi=hi, shift=shift)
+                                lo=lo, hi=hi, shift=shift,
+                                pad_cat=not radix_ops.pad_cat_safe(lo, hi))
     chunk = chunk_rows * LANES
     rk_in = radix_ops._chunk_pad(r_key, chunk)
     nchunks = rk_in.shape[0] // chunk
@@ -498,7 +502,16 @@ def plan_bitmap_build(r_key, lo: int, hi: int, part_bits: int, shift: int,
     _, rstarts = part(rk_in)
     F = 1 << part_bits
     st = np.asarray(rstarts).reshape(nchunks, -1)[:, :F + 1].astype(np.int64)
-    max_run = int((st[:, 1:] - st[:, :-1]).max()) if nchunks else 1
+    runs = st[:, 1:] - st[:, :-1]
+    if not pgeom.pad_cat and nchunks:
+        # pad-dropped split: the last chunk's PAD slack lands (stably, so
+        # AFTER that bucket's real members) in the junk bucket of PAD's
+        # wrapped norm — size windows on the real prefix only
+        n_pad = rk_in.shape[0] - int(np.prod(r_key.shape))
+        if n_pad:
+            bj = (((1 << 31) - lo) >> shift) & (F - 1)
+            runs[-1, bj] -= n_pad
+    max_run = int(runs.max()) if nchunks else 1
     bgeom = _probe_geom(part_bits, shift, sl_rows, lo, chunk_rows, nchunks,
                         max_run)
 
@@ -830,10 +843,13 @@ def plan_radix_join(r_key, s_key, lo: int, hi: int,
     geom = _probe_geom(part_bits, shift, sl_rows, lo, chunk_rows, nchunks,
                        max_run)
 
-    def count_from(sk, chain):
+    # the bitmap is a jit ARGUMENT everywhere (closure capture would embed
+    # it as an HLO constant — a 256 MiB payload at full-int32-span
+    # geometry, past the remote-compile size limit)
+    def count_from(bm, sk, chain):
         sp, stt = part(sk, chain)
         row_d, own_d = derive_descs(stt.reshape(nchunks, -1, LANES), geom)
-        return bitmap_probe_count(bitmap, sp, row_d, own_d, geom,
+        return bitmap_probe_count(bm, sp, row_d, own_d, geom,
                                   interpret=interpret)
 
     def full_from(rk, sk, chain):
@@ -860,8 +876,8 @@ def plan_radix_join(r_key, s_key, lo: int, hi: int,
     chain_jit = jax.jit(chain_from)
     descs0 = jax.jit(lambda stt: derive_descs(
         stt.reshape(nchunks, -1, LANES), geom))(starts)
-    probe_jit = jax.jit(lambda sp, rd, chain: bitmap_probe_count(
-        bitmap, sp + chain * 0, rd[0], rd[1], geom, interpret=interpret))
+    probe_jit = jax.jit(lambda bm, sp, rd, chain: bitmap_probe_count(
+        bm, sp + chain * 0, rd[0], rd[1], geom, interpret=interpret))
     # phase timing must read back a SCALAR (a full-array fetch crawls
     # through the tunnel); the sum is data-dependent on the whole pass
     part_scalar = jax.jit(
@@ -870,9 +886,9 @@ def plan_radix_join(r_key, s_key, lo: int, hi: int,
     int(full_jit(rk_in, sk_in, jnp.int32(0)))
 
     return RadixJoinPlan(
-        count_fn=lambda c: count_jit(sk_in, c),
+        count_fn=lambda c: count_jit(bitmap, sk_in, c),
         part_fn=lambda c: part_scalar(sk_in, c),
-        probe_fn=lambda c: probe_jit(s_part, descs0, c),
+        probe_fn=lambda c: probe_jit(bitmap, s_part, descs0, c),
         s_tuples=int(s_key.shape[0]),
         build_usec=build_usec,
         geom=geom,

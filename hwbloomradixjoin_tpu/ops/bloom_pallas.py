@@ -279,16 +279,19 @@ def plan_bloom_prune(r_key, s_key, args: BloomArgs,
     geom = bitmap_join._probe_geom(part_bits, 0, sl_rows, 0, chunk_rows,
                                    nchunks, max_run)
 
-    def prune_from(sk, chain):
+    # the filter bitmap rides as a jit ARGUMENT (a closed-over device
+    # array becomes an HLO constant — 128 MiB at the flagship m=2^30,
+    # past the remote-compile payload limit)
+    def prune_from(fbm, sk, chain):
         sp, stt = part(sk, chain)
         rd, od = bitmap_join.derive_descs(stt.reshape(nchunks, -1, LANES),
                                           geom)
-        return bloom_probe_prune(bm, sp, rd, od, geom, args, hash_bits,
+        return bloom_probe_prune(fbm, sp, rd, od, geom, args, hash_bits,
                                  interpret=interpret)
 
     prune_jit = jax.jit(prune_from)
-    jax.block_until_ready(prune_jit(sk_in, jnp.int32(0)))
-    return BloomPrunePlan(prune_fn=lambda c: prune_jit(sk_in, c),
+    jax.block_until_ready(prune_jit(bm, sk_in, jnp.int32(0)))
+    return BloomPrunePlan(prune_fn=lambda c: prune_jit(bm, sk_in, c),
                           build_usec=build_usec, geom=geom)
 
 
@@ -366,15 +369,15 @@ def plan_bloom_prune_2pass(r_key, s_key, args: BloomArgs, part_bits: int,
         chunk_rows=cap_rows, nchunks=1, c_rows=c_rows,
         ch_per_step=1, ngroups=1, ntiles=ntiles)
 
-    def prune_from(sk, chain):
+    def prune_from(fbm, sk, chain):
         s1, st1 = part1(sk, chain)
         s2, st2d = multipass.pass2_partition(
             s1, multipass._descs1(st1, p2), p2, interpret=interpret)
         rd, od = multipass.derive_descs_contig(st2d, pgeom, p2)
-        return bloom_probe_prune(bm, s2, rd, od, pgeom, args, hash_bits,
+        return bloom_probe_prune(fbm, s2, rd, od, pgeom, args, hash_bits,
                                  interpret=interpret)
 
     prune_jit = jax.jit(prune_from)
-    jax.block_until_ready(prune_jit(sk_in, jnp.int32(0)))
-    return BloomPrunePlan(prune_fn=lambda c: prune_jit(sk_in, c),
+    jax.block_until_ready(prune_jit(bm, sk_in, jnp.int32(0)))
+    return BloomPrunePlan(prune_fn=lambda c: prune_jit(bm, sk_in, c),
                           build_usec=build_usec, geom=pgeom)

@@ -480,11 +480,13 @@ def plan_prho_join(r_key, r_pay, s_key, s_pay, lo: int, hi: int,
             geom, ch_per_step=max(1, geom.ch_per_step // 2),
             ngroups=-(-nchunks // max(1, geom.ch_per_step // 2)))
 
-    def count_from(sk, sp, chain):
+    # tables ride as jit ARGUMENTS (closure capture inlines them as HLO
+    # constants — 1 GiB at workload-B range, past the compile size limit)
+    def count_from(ct, pt, sk, sp, chain):
         s2, p2, stt = part(sk, sp, chain)
         rd, od = bitmap_join.derive_descs(stt.reshape(nchunks, -1, LANES),
                                           geom)
-        return probe_count_sums(cnt_tbl, pay_tbl, s2, p2, rd, od, geom,
+        return probe_count_sums(ct, pt, s2, p2, rd, od, geom,
                                 interpret=interpret)
 
     def full_from(rk, rp, sk, sp, chain):
@@ -505,7 +507,8 @@ def plan_prho_join(r_key, r_pay, s_key, s_pay, lo: int, hi: int,
 
     chain_jit = jax.jit(chain_from)
     jax.block_until_ready(full_jit(rk_in, rp_in, sk_in, sp_in, jnp.int32(0)))
-    jax.block_until_ready(count_jit(sk_in, sp_in, jnp.int32(0)))
+    jax.block_until_ready(count_jit(cnt_tbl, pay_tbl, sk_in, sp_in,
+                                    jnp.int32(0)))
     rd0 = jax.jit(lambda s: bitmap_join.derive_descs(
         s.reshape(nchunks, -1, LANES), geom))(starts)
     # big arrays ride as jit ARGUMENTS, never closures: a closed-over
@@ -519,7 +522,7 @@ def plan_prho_join(r_key, r_pay, s_key, s_pay, lo: int, hi: int,
         sk, sp, chain)[0].ravel()[-1].astype(jnp.int32))
 
     return PrhoPlan(
-        count_fn=lambda c: count_jit(sk_in, sp_in, c),
+        count_fn=lambda c: count_jit(cnt_tbl, pay_tbl, sk_in, sp_in, c),
         part_fn=lambda c: part_scalar(sk_in, sp_in, c),
         probe_fn=lambda c: probe_jit(cnt_tbl, pay_tbl, s_part, sp_part,
                                      rd0[0], rd0[1], c),
@@ -637,3 +640,214 @@ def plan_prh_join(r_key, r_pay, s_key, lo: int, hi: int,
         full_fn=lambda c: full_jit(rk_in, rp_in, sk_in, c),
         build_scalar_fn=build_scalar_fn,
         chain_fn=lambda n: chain_jit(rk_in, rp_in, sk_in, n))
+
+
+def _materialize_kernel_for(geom: bitmap_join.ProbeGeom):
+    """Result materialization probe: emit (r_pay, s_pay, key) per match.
+
+    The reference's JOIN_RESULT_MATERIALIZE appends rid pairs to chained
+    per-thread buffers (tuple_buffer.h:92-108); the deterministic TPU
+    formulation emits into a staged-order output image instead: each grid
+    step owns an output block congruent to its staging buffer, matched
+    slots carry the pair, unmatched slots carry PAD.  Downstream
+    consumers (Out.tbl writer, JoinResult) drop PAD slots — order is not
+    part of the contract (the reference's buffer order is thread-
+    scheduling-dependent too).  Requires unique R (count slices in
+    {0,1}); the registry guards and falls back otherwise.
+    """
+    sl_rows = geom.sl_rows
+    c_rows = geom.c_rows
+    ch = geom.ch_per_step
+    ngroups = geom.ngroups
+    nchunks = geom.nchunks
+    nt = geom.ntiles
+    lo = geom.lo
+    shift = geom.shift
+    local_mask = (1 << shift) - 1
+
+    def kern(row_d, own_d, cnt_ref, pay_ref, s_ref, sp_ref,
+             out_r, out_s, out_k, out_c, sbuf, pbuf, sem, accc):
+        g = pl.program_id(0)
+        ng = pl.num_programs(0)
+        b = g // (ngroups * nt)
+        gi = (g // nt) - b * ngroups
+
+        @pl.when(g == 0)
+        def _():
+            accc[:] = jnp.zeros_like(accc)
+
+        nlive = jnp.minimum(nchunks - gi * ch, ch)
+        for t in range(ch):
+            @pl.when(t < nlive)
+            def _():
+                pltpu.make_async_copy(
+                    s_ref.at[pl.ds(row_d[0, 0, t], c_rows), :],
+                    sbuf.at[pl.ds(t * c_rows, c_rows), :], sem).start()
+                pltpu.make_async_copy(
+                    sp_ref.at[pl.ds(row_d[0, 0, t], c_rows), :],
+                    pbuf.at[pl.ds(t * c_rows, c_rows), :], sem).start()
+        for t in range(ch):
+            @pl.when(t < nlive)
+            def _():
+                pltpu.make_async_copy(
+                    s_ref.at[pl.ds(row_d[0, 0, t], c_rows), :],
+                    sbuf.at[pl.ds(t * c_rows, c_rows), :], sem).wait()
+                pltpu.make_async_copy(
+                    sp_ref.at[pl.ds(row_d[0, 0, t], c_rows), :],
+                    pbuf.at[pl.ds(t * c_rows, c_rows), :], sem).wait()
+
+        cnt_sl = cnt_ref[:]
+        pay_sl = pay_ref[:]
+        live_rows = nlive * c_rows
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+        PAD = jnp.int32(PAD_KEY)
+
+        def sub(u, _):
+            t = u // (c_rows // 8)
+            r = pl.multiple_of(u * 8, 8)
+            k = sbuf[pl.ds(r, 8), :]
+            sp = pbuf[pl.ds(r, 8), :]
+            norm = k - jnp.int32(lo)
+            abs_row = row_d[0, 0, t] + (r - t * c_rows) + row_iota
+            owned = (abs_row >= own_d[0, 0, t]) \
+                & (abs_row < own_d[0, 0, t] + c_rows)
+            ok = ((norm >> shift) == b) & owned
+            local = norm & local_mask
+            lane = local & (LANES - 1)
+            rowj = local >> 7
+            cv = jnp.zeros((8, LANES), jnp.int32)
+            pv = jnp.zeros((8, LANES), jnp.int32)
+            for j in range(sl_rows):
+                hit = rowj == j
+                cg = jnp.take_along_axis(
+                    jnp.broadcast_to(cnt_sl[j:j + 1], (8, LANES)),
+                    lane, axis=1)
+                pg = jnp.take_along_axis(
+                    jnp.broadcast_to(pay_sl[j:j + 1], (8, LANES)),
+                    lane, axis=1)
+                cv = jnp.where(hit, cg, cv)
+                pv = jnp.where(hit, pg, pv)
+            m = ok & (cv > 0)
+            out_r[pl.ds(r, 8), :] = jnp.where(m, pv, PAD)
+            out_s[pl.ds(r, 8), :] = jnp.where(m, sp, PAD)
+            out_k[pl.ds(r, 8), :] = jnp.where(m, k, PAD)
+            accc[:] += m.astype(jnp.int32)
+            return 0
+
+        jax.lax.fori_loop(0, live_rows // 8, sub, 0)
+        # slack rows beyond the live windows must read as PAD
+        @pl.when(live_rows < ch * c_rows)
+        def _():
+            def padrow(u, _):
+                r = pl.multiple_of(u * 8, 8)
+                @pl.when(u * 8 >= live_rows)
+                def _():
+                    out_r[pl.ds(r, 8), :] = jnp.full((8, LANES), PAD)
+                    out_s[pl.ds(r, 8), :] = jnp.full((8, LANES), PAD)
+                    out_k[pl.ds(r, 8), :] = jnp.full((8, LANES), PAD)
+                return 0
+            jax.lax.fori_loop(0, (ch * c_rows) // 8, padrow, 0)
+
+        @pl.when(g == ng - 1)
+        def _():
+            out_c[0, 0] = jnp.sum(accc[:])
+    return kern
+
+
+def materialize_pairs(cnt_tbl, pay_tbl, s_part, sp_part, row_d, own_d,
+                      geom: bitmap_join.ProbeGeom, interpret: bool = False):
+    """Emit matched pairs in staged-order image: (out_r, out_s, out_k, n).
+
+    Output arrays have geom.grid * ch_per_step * c_rows rows; PAD-slot
+    entries are non-matches/slack.
+    """
+    gnt = geom.ngroups * geom.ntiles
+    blk_slice = pl.BlockSpec(
+        (geom.sl_rows, LANES),
+        lambda g, gnt=gnt: (g // gnt, 0),
+        memory_space=pltpu.VMEM)
+    smem_desc = pl.BlockSpec((1, 1, geom.ch_per_step), lambda g: (g, 0, 0),
+                             memory_space=pltpu.SMEM)
+    step_rows = geom.ch_per_step * geom.c_rows
+    out_blk = pl.BlockSpec((step_rows, LANES), lambda g: (g, 0),
+                           memory_space=pltpu.VMEM)
+    G = geom.grid
+    outs = pl.pallas_call(
+        _materialize_kernel_for(geom),
+        grid=(G,),
+        in_specs=[smem_desc, smem_desc, blk_slice, blk_slice,
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(out_blk, out_blk, out_blk,
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(
+            jax.ShapeDtypeStruct((G * step_rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((G * step_rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((G * step_rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((geom.ch_per_step * geom.c_rows, LANES), jnp.int32),
+            pltpu.VMEM((geom.ch_per_step * geom.c_rows, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((8, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=bitmap_join.VMEM_LIMIT),
+    )(row_d, own_d, cnt_tbl, pay_tbl, s_part, sp_part)
+    return outs
+
+
+def plan_materialize_join(r_key, r_pay, s_key, s_pay, lo: int, hi: int,
+                          interpret: bool = False,
+                          chunk_rows: int = bitmap_join.CHUNK_ROWS,
+                          num_radix_bits: Optional[int] = None):
+    """Pallas materialization plan (unique R): returns (fn, meta) or None.
+
+    fn(chain) -> (out_r, out_s, out_k, count) — the full pipeline (table
+    build + kv partition + pair-emitting probe) as one device program.
+    None when R is non-unique at any slot (pairs would need per-key R
+    tuple lists; the XLA sort tier serves that) or on window overflow.
+    """
+    if interpret:
+        chunk_rows = min(chunk_rows, 1024)
+    part_bits, shift, slice_rows = plan_geometry_counts(lo, hi,
+                                                        num_radix_bits)
+    pgeom = radix_ops.RadixGeom(chunk_rows=chunk_rows, part_bits=part_bits,
+                                lo=lo, hi=hi, shift=shift)
+    chunk = chunk_rows * LANES
+
+    build_from, rk_in, rp_in, _ = plan_tables_build(
+        r_key, r_pay, lo, hi, part_bits, shift, slice_rows,
+        interpret=interpret, chunk_rows=chunk_rows)
+    cnt_tbl, pay_tbl = jax.jit(build_from)(rk_in, rp_in, jnp.int32(0))
+    if int(jax.jit(jnp.max)(cnt_tbl)) > 1:
+        return None                       # non-unique R: XLA tier serves it
+
+    part = jax.jit(lambda sk, sp, chain: radix_ops.partition_pass_kv(
+        sk + chain * 0, sp, interpret=interpret, geom=pgeom))
+    sk_in = radix_ops._chunk_pad(s_key, chunk)
+    sp_in = radix_ops._chunk_pad(s_pay, chunk)
+    nchunks = sk_in.shape[0] // chunk
+    _, _, starts = part(sk_in, sp_in, jnp.int32(0))
+    F = 1 << part_bits
+    st = np.asarray(starts).reshape(nchunks, -1)[:, :F + 1].astype(np.int64)
+    max_run = int((st[:, 1:] - st[:, :-1]).max()) if nchunks else 1
+    geom = bitmap_join._probe_geom(part_bits, shift, slice_rows, lo,
+                                   chunk_rows, nchunks, max_run)
+    if geom.ch_per_step > 1:
+        geom = dataclasses.replace(
+            geom, ch_per_step=max(1, geom.ch_per_step // 2),
+            ngroups=-(-nchunks // max(1, geom.ch_per_step // 2)))
+
+    def run(ct, pt, sk, sp, chain):
+        s2, p2, stt = part(sk, sp, chain)
+        rd, od = bitmap_join.derive_descs(stt.reshape(nchunks, -1, LANES),
+                                          geom)
+        return materialize_pairs(ct, pt, s2, p2, rd, od, geom,
+                                 interpret=interpret)
+
+    run_jit = jax.jit(run)
+    return (lambda c: run_jit(cnt_tbl, pay_tbl, sk_in, sp_in, c)), geom

@@ -361,7 +361,7 @@ class RadixGeom:
     def __init__(self, chunk_rows=CHUNK_ROWS, part_bits=PART_BITS,
                  s_segs=S_SEGS, r_segs=R_SEGS,
                  lo=0, hi=None, shift=0,
-                 hash_seed=None, hash_bits=0):
+                 hash_seed=None, hash_bits=0, pad_cat=True):
         self.chunk_rows = chunk_rows
         self.part_bits = part_bits
         self.s_segs = s_segs
@@ -374,10 +374,29 @@ class RadixGeom:
         # are VMEM-resident in the probe (ops/bloom_pallas.py)
         self.hash_seed = hash_seed
         self.hash_bits = hash_bits
+        # pad_cat=False drops the pad category: the split routes only
+        # part_bits bits and PAD/slack elements land in a junk bucket
+        # determined by PAD_KEY's wrapped norm.  Safe ONLY when downstream
+        # consumers mask by bucket-of-key ((norm >> shift) == b, which PAD's
+        # wrapped norm can never satisfy given lo <= 2^31 - 2^range_bits)
+        # and when no real out-of-range keys exist in the stream (R builds,
+        # compacted survivors) — callers assert that via pad_cat_safe().
+        self.pad_cat = pad_cat
         # buckets + pad category, rounded up to a multiple of 8 rows so the
         # starts output block is Mosaic-tileable (sublane divisibility)
         cr = ((1 << part_bits) + 1 + LANES - 1) // LANES
         self.cat_rows = (cr + 7) & ~7
+
+
+def pad_cat_safe(lo: int, hi: int) -> bool:
+    """True iff PAD_KEY's wrapped norm can never alias a real bucket.
+
+    norm(PAD) = PAD_KEY - lo wraps (int32) to 2^31 - lo; its bucket test
+    (norm >> shift) == b fails for every b < F iff 2^31 - lo >= 2^range_bits.
+    """
+    span = hi - lo + 1
+    range_bits = max((max(span - 1, 1)).bit_length(), 12)
+    return 0 <= lo <= (1 << 31) - (1 << range_bits) and range_bits <= 30
 
 DEFAULT_GEOM = RadixGeom()
 
@@ -391,13 +410,17 @@ def geom_cat_fn(geom):
     recompute — those geometries route cat instead.
     """
     def cat_fn(key, *rest):
-        valid = key != PAD_KEY
-        if geom.hi is not None:
-            valid = valid & (key >= geom.lo) & (key <= geom.hi)
         norm = key - jnp.int32(geom.lo)
         bucket = jax.lax.shift_right_logical(
             norm.astype(jnp.uint32), jnp.uint32(geom.shift)
         ).astype(jnp.int32) & ((1 << geom.part_bits) - 1)
+        if not geom.pad_cat:
+            # no pad category: PAD/slack keys land in a junk bucket and
+            # are excluded downstream by the bucket-of-key ownership test
+            return bucket
+        valid = key != PAD_KEY
+        if geom.hi is not None:
+            valid = valid & (key >= geom.lo) & (key <= geom.hi)
         return jnp.where(valid, bucket, 1 << geom.part_bits)
     return cat_fn
 
@@ -421,13 +444,13 @@ def _partition_kernel_for(geom, with_payload: bool = False):
         else:
             cat_fn = geom_cat_fn(geom)
             cat = cat_fn(key)
+        nbits = geom.part_bits + (1 if geom.pad_cat else 0)
         if with_payload:
             cat_s, (key_s, pay_s) = split_chunk(cat, [key, pin_ref[:]],
-                                                geom.part_bits + 1,
-                                                cat_fn=cat_fn)
+                                                nbits, cat_fn=cat_fn)
             pout_ref[:] = pay_s
         else:
-            cat_s, (key_s,) = split_chunk(cat, [key], geom.part_bits + 1,
+            cat_s, (key_s,) = split_chunk(cat, [key], nbits,
                                           cat_fn=cat_fn)
         kout_ref[:] = key_s
         starts_ref[:] = sorted_starts_wide(cat_s, geom.cat_rows)

@@ -279,6 +279,55 @@ def sort_scan_count_wide64(r_khi, r_klo, r_phi, r_plo,
     return count, sum_r, sum_s
 
 
+def sort_scan_materialize_multi(r_key, r_pay, s_key, s_pay, out_cap: int):
+    """Materialized join for NON-UNIQUE build sides: all (R, S) pairs.
+
+    Each S row with key multiplicity m in R emits m pairs (the
+    reference's materialization is all-pairs, tuple_buffer.h appends one
+    entry per probe hit, parallel_radix_join.c:255-330).  out_cap is the
+    static output capacity (callers pre-count with sort_scan_count);
+    rows past the true total carry PAD keys.
+
+    Returns (count, r_payload_out, s_payload_out, key_out) with out_cap
+    rows.
+    """
+    nr = r_key.shape[0]
+    ns = s_key.shape[0]
+    n = nr + ns
+    key = jnp.concatenate([r_key, s_key])
+    tag = jnp.concatenate([jnp.zeros(nr, jnp.int32), jnp.ones(ns, jnp.int32)])
+    pay = jnp.concatenate([r_pay, s_pay])
+    key, tag, pay = jax.lax.sort((key, tag, pay), num_keys=2)
+
+    is_r = tag == 0
+    boundary = jnp.concatenate([jnp.ones(1, bool), key[1:] != key[:-1]])
+    idx = jnp.arange(n, dtype=jnp.int32)
+    seg_start = jax.lax.cummax(jnp.where(boundary, idx, jnp.int32(-1)))
+    r_flag = is_r.astype(jnp.int32)
+    r_pref = jnp.cumsum(r_flag)
+    # R rows sort before every S row of their key segment (tag 0 < 1), so
+    # at an S position r_pref already counts the segment's full R run:
+    # multiplicity = r_pref[pos] - r_pref just before the segment
+    r_before_seg = jnp.where(seg_start > 0,
+                             r_pref[jnp.maximum(seg_start - 1, 0)], 0)
+    m = jnp.where(~is_r, r_pref - r_before_seg, 0)   # pairs this S row emits
+    csum = jnp.cumsum(m)
+    total = csum[-1]
+    base = csum - m
+
+    j = jnp.arange(out_cap, dtype=jnp.int32)
+    i = jnp.searchsorted(csum, j, side="right").astype(jnp.int32)
+    i = jnp.minimum(i, n - 1)
+    t = j - base[i]
+    src_r = jnp.minimum(seg_start[i] + t, n - 1)
+    valid = j < total
+    PAD = jnp.int32(-2147483648)
+    out_r = jnp.where(valid, pay[src_r], PAD)
+    out_s = jnp.where(valid, pay[i], PAD)
+    out_k = jnp.where(valid, key[i], PAD)
+    return total, out_r, out_s, out_k
+
+
 def sort_scan_materialize_wide(r_khi, r_klo, r_phi, r_plo,
                                s_khi, s_klo, s_phi, s_plo):
     """Materialized KEY_8B join (unique 64-bit R keys).

@@ -42,6 +42,7 @@ class JoinConfig:
     repeats: int = 1
     inner: int = 1                    # in-jit chained repeats (--engine-inner)
     devices: int = 0                  # dist mesh size (0 = local engine)
+    local_join: str = "sortscan"      # dist per-device engine (pallas|sortscan)
     passes: int = 1                   # radix passes (--engine-passes)
 
     def to_args(self) -> list[str]:
@@ -71,6 +72,8 @@ class JoinConfig:
             args.append("--engine-no-dense")
         if self.devices >= 1:
             args += ["--engine-devices", str(self.devices)]
+            if self.local_join != "sortscan":
+                args += ["--engine-local-join", self.local_join]
         if self.passes != 1:
             args += ["--engine-passes", str(self.passes)]
         if self.backend != "auto":

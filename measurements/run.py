@@ -251,20 +251,23 @@ def sweep_scaling(r_size=500_000, s_size=4_000_000, max_devices=8):
     rows = []
     env = {"JAX_PLATFORMS": "cpu",
            "XLA_FLAGS": f"--xla_force_host_platform_device_count={max_devices}"}
-    base = None
-    n = 1
-    while n <= max_devices:
-        cfg = JoinConfig(algorithm="PRO", r_size=r_size, s_size=s_size,
-                         selectivity=0.25, backend="cpu", devices=n,
-                         repeats=3)
-        row = run_one(cfg, env=env, timeout=7200)
-        row["devices"] = n
-        if base is None:
-            base = row["time-usecs"]
-        row["scaling-efficiency"] = base / (n * row["time-usecs"])
-        row["speedup-vs-1dev"] = base / row["time-usecs"]
-        rows.append(row)
-        n *= 2
+    for local_join in ("pallas", "sortscan"):
+        base = None
+        n = 1
+        while n <= max_devices:
+            cfg = JoinConfig(algorithm="PRO", r_size=r_size, s_size=s_size,
+                             selectivity=0.25, backend="cpu", devices=n,
+                             local_join=local_join, repeats=3)
+            row = run_one(cfg, env=env, timeout=7200)
+            row["devices"] = n
+            row["local-join"] = local_join
+            if base is None:
+                base = row["time-usecs"]
+            row["scaling-efficiency"] = base / (n * row["time-usecs"])
+            row["speedup-vs-1dev"] = base / row["time-usecs"]
+            rows.append(row)
+            save_data(rows, "scaling")
+            n *= 2
     return save_data(rows, "scaling")
 
 

@@ -518,3 +518,51 @@ def test_full_range_tier_selection():
                              stats=stats2)
     assert registry._key_range(R2, registry.BITMAP_MAX_SPAN,
                                require_nonneg=True) is None
+
+
+def test_pallas_materialize_pairs_exact():
+    """The Pallas materialization tier emits exactly the XLA tier's pairs
+    (order-insensitive) for unique R, including the count."""
+    rk, rp, sk, sp = _workload(n_r=3000, n_s=20000, hi_mult=3, seed=13)
+    stats = KeyStats(min_key=1, max_key=3000, is_unique=True)
+    R = Relation.from_numpy(rk, rp, stats=stats)
+    S = Relation.from_numpy(sk, sp)
+    cfg = EngineConfig(interpret=True, materialize=True)
+    res, st, _ = run_join("PRO", R, S, cfg)
+    assert st.tier == "pallas_materialize"
+    rmap = {int(k): int(p) for k, p in zip(rk, rp)}
+    want_pairs = sorted((rmap[int(k)], int(p))
+                        for k, p in zip(sk, sp) if int(k) in rmap)
+    got = sorted(zip(np.asarray(res.r_payload).tolist(),
+                     np.asarray(res.s_payload).tolist()))
+    assert res.count() == len(want_pairs)
+    assert got == want_pairs
+
+
+def test_pallas_materialize_nonunique_falls_back():
+    rng = np.random.default_rng(3)
+    rk = rng.integers(1, 2000, 4000).astype(np.int32)   # non-unique
+    rp = np.arange(4000, dtype=np.int32)
+    sk = rng.integers(1, 4000, 9000).astype(np.int32)
+    sp = np.arange(9000, dtype=np.int32)
+    R = Relation.from_numpy(rk, rp)
+    S = Relation.from_numpy(sk, sp)
+    cfg = EngineConfig(interpret=True, materialize=True)
+    res, st, _ = run_join("PRO", R, S, cfg)
+    assert st.tier == "materialize"       # XLA sort tier serves it
+    want = sum((rk == k).sum() for k in sk)
+    assert res.count() == int(want)
+
+
+def test_pallas_key8b_tier_interpret():
+    """KEY_8B with 32-bit-valued keys (the reference's workload-A shape)
+    rides the Pallas bitmap engine via low-word column projection."""
+    rk, rp, sk, sp = _workload(n_r=4000, n_s=30000, hi_mult=3, seed=17)
+    want, _, _ = native.ref_join(rk, rp, sk, sp)
+    stats = KeyStats(min_key=1, max_key=4000, is_unique=True)
+    R = Relation.from_numpy(rk, rp, key8b=True, stats=stats)
+    S = Relation.from_numpy(sk, sp, key8b=True)
+    assert R.key_hi is not None
+    res, st, _ = run_join("PRO", R, S, EngineConfig(interpret=True))
+    assert st.tier == "pallas_key8b"
+    assert res.count() == want

@@ -62,16 +62,39 @@ def main():
     R = Relation.from_numpy(rk, np.arange(n_r, dtype=np.int32), stats=stats)
     S = Relation(key=jnp.asarray(sk), payload=jnp.zeros(1, jnp.int32))
     cfg = EngineConfig(radix=RadixConfig(
-        num_radix_bits=int(bits) if bits else None))
-    res, st, _ = run_join("PRO", R, S, cfg, None, inner_repeats=4)
-    ok = res.count() == want
-    print(f"tier={st.tier} total={st.total_usec/1e6:.3f}s "
-          f"({st.total_usec*1e3/n_s:.3f} ns/tuple) "
-          f"build={st.build_usec/1e3:.0f}ms part={st.part_usec/1e3:.0f}ms "
-          f"probe={st.probe_usec/1e3:.0f}ms "
-          f"count={res.count()} expect={want} -> "
-          f"{'OK' if ok else 'MISMATCH'}", flush=True)
-    sys.exit(0 if ok else 1)
+        num_radix_bits=int(bits) if bits else None,
+        passes=int(os.environ.get("FR_PASSES", 1))))
+
+    from hwbloomradixjoin_tpu.config import BloomArgs, BloomVariant
+    from hwbloomradixjoin_tpu.ops import bloom as bloom_ops
+
+    configs = [("PRO", None)]
+    if os.environ.get("FR_BLOOM", "1") == "1":
+        for mb in (27, 30):
+            for k in (1, 4):
+                configs.append((
+                    f"BPRO blocked m=2^{mb} k={k} B=512",
+                    BloomArgs(variant=BloomVariant.BLOCKED, m=1 << mb,
+                              k=k, B=512)))
+    all_ok = True
+    for name, bargs in configs:
+        res, st, _ = run_join("PRO", R, S, cfg, bargs, inner_repeats=3)
+        ok = res.count() == want
+        all_ok &= ok
+        line = (f"{name}: tier={st.tier} total={st.total_usec/1e6:.3f}s "
+                f"({st.total_usec*1e3/n_s:.3f} ns/tuple) "
+                f"build={st.build_usec/1e3:.0f}ms "
+                f"part={st.part_usec/1e3:.0f}ms "
+                f"probe={st.probe_usec/1e3:.0f}ms "
+                f"count={res.count()} expect={want} -> "
+                f"{'OK' if ok else 'MISMATCH'}")
+        if bargs is not None and res.s_after_filter is not None:
+            fpr = bloom_ops.theoretical_fpr(bargs.m, bargs.k, n_r)
+            exp_surv = q + (1 - q) * fpr
+            line += (f" | survivors {res.s_after_filter/n_s*100:.2f}% "
+                     f"(theory {exp_surv*100:.2f}%)")
+        print(line, flush=True)
+    sys.exit(0 if all_ok else 1)
 
 
 if __name__ == "__main__":
