@@ -353,6 +353,9 @@ if __name__ == "__main__":
     if os.environ.get("HBRJ_SWEEP_KS"):
         kwargs["ks"] = tuple(
             int(x) for x in os.environ["HBRJ_SWEEP_KS"].split(","))
+    if os.environ.get("HBRJ_SWEEP_RSIZES"):
+        kwargs["r_sizes"] = tuple(
+            int(x) for x in os.environ["HBRJ_SWEEP_RSIZES"].split(","))
     if os.environ.get("HBRJ_SWEEP_BITS"):
         kwargs["bits_list"] = [
             int(x) for x in os.environ["HBRJ_SWEEP_BITS"].split(",")]
