@@ -595,11 +595,13 @@ def plan_prh_join(r_key, r_pay, s_key, lo: int, hi: int,
     geom = bitmap_join._probe_geom(part_bits, shift, slice_rows, lo,
                                    chunk_rows, nchunks, max_run)
 
-    def count_from(sk, chain):
+    # tables as jit ARGUMENTS (closure capture would inline 1 GiB of HLO
+    # constants at workload-B range — past the compile payload limit)
+    def count_from(ct, pt, sk, chain):
         s2, stt = part(sk, chain)
         rd, od = bitmap_join.derive_descs(stt.reshape(nchunks, -1, LANES),
                                           geom)
-        return probe_count_sums(cnt_tbl, pay_tbl, s2, None, rd, od, geom,
+        return probe_count_sums(ct, pt, s2, None, rd, od, geom,
                                 interpret=interpret)
 
     def full_from(rk, rp, sk, chain):
@@ -620,7 +622,7 @@ def plan_prh_join(r_key, r_pay, s_key, lo: int, hi: int,
 
     chain_jit = jax.jit(chain_from)
     jax.block_until_ready(full_jit(rk_in, rp_in, sk_in, jnp.int32(0)))
-    jax.block_until_ready(count_jit(sk_in, jnp.int32(0)))
+    jax.block_until_ready(count_jit(cnt_tbl, pay_tbl, sk_in, jnp.int32(0)))
     rd0 = jax.jit(lambda s: bitmap_join.derive_descs(
         s.reshape(nchunks, -1, LANES), geom))(starts)
     probe_jit = jax.jit(lambda ct, pt, s2, rd, od, chain:
@@ -631,7 +633,7 @@ def plan_prh_join(r_key, r_pay, s_key, lo: int, hi: int,
         sk, chain)[0].ravel()[-1].astype(jnp.int32))
 
     return PrhoPlan(
-        count_fn=lambda c: count_jit(sk_in, c),
+        count_fn=lambda c: count_jit(cnt_tbl, pay_tbl, sk_in, c),
         part_fn=lambda c: part_scalar(sk_in, c),
         probe_fn=lambda c: probe_jit(cnt_tbl, pay_tbl, s_part,
                                      rd0[0], rd0[1], c),
