@@ -288,7 +288,7 @@ def sweep_passes(backend="auto", r_size=1_000_000, s_size=8_000_000):
 
 
 def sweep_algos(backend="auto", r_size=1_000_000, s_size=8_000_000,
-                inner=4):
+                inner=4, name="algos"):
     """Figure-11 analogue: PRO vs PRH vs PRHO (vs NPO), one workload.
 
     The reference's three-way build/probe-kernel comparison
@@ -296,16 +296,35 @@ def sweep_algos(backend="auto", r_size=1_000_000, s_size=8_000_000,
     runs a genuinely distinct engine tier (pallas_radix / pallas_prh /
     pallas_prho / pallas_npo — models/registry.py), timed with `inner`
     chained in-jit repeats (no dispatch-floor subtraction at this scale).
+    Rows append incrementally so long TPU sweeps survive interruption.
     """
+    import pandas as pd
+
     rows = []
+    pkl = os.path.join(DATA_DIR, f"{name}.pkl")
+    if os.path.exists(pkl):
+        prev = pd.read_pickle(pkl)
+        if len(prev) and (prev["r_size"] == r_size).all():
+            rows = prev.to_dict("records")
+    done = {r.get("algo") for r in rows}
     for algo in ("PRO", "PRH", "PRHO", "NPO"):
+        if algo in done:
+            continue
         cfg = JoinConfig(algorithm=algo, r_size=r_size, s_size=s_size,
                          no_dense=True, backend=backend, inner=inner)
         row = run_one(cfg, timeout=7200)
         row["algo"] = algo
         rows.append(row)
-        save_data(rows, "algos")
-    return save_data(rows, "algos")
+        save_data(rows, name)
+    return save_data(rows, name)
+
+
+def sweep_algos_b(backend="auto", inner=2):
+    """sweep_algos at the reference's workload B (128M x 128M, 8B tuples):
+    base_results/figure11/{PRO,PRH,PRHO}_B_14.txt = 9.85 / 12.73 / 11.35
+    ns/tuple on isengard."""
+    return sweep_algos(backend=backend, r_size=128_000_000,
+                       s_size=128_000_000, inner=inner, name="algos_B")
 
 
 def sweep_dist_bloom(r_size=1_000_000, s_size=8_000_000, devices=8):
@@ -339,7 +358,7 @@ SWEEPS = {"quick": sweep_quick, "bloom": sweep_bloom, "params": sweep_params,
           "radix_bits": sweep_radix_bits,
           "never_single_pass": sweep_never_single_pass,
           "scaling": sweep_scaling, "passes": sweep_passes,
-          "algos": sweep_algos}
+          "algos": sweep_algos, "algos_b": sweep_algos_b}
 
 
 if __name__ == "__main__":
