@@ -13,9 +13,17 @@ Extra engine flags (not in the reference) are prefixed --engine-*.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
+
+# Persistent compile cache (must be set before jax import): Pallas plan
+# compiles through the remote tunnel take minutes cold; sweep subprocesses
+# re-running the same geometry replan in seconds (same setting as bench.py).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jaxcomp"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 
 def build_parser() -> argparse.ArgumentParser:

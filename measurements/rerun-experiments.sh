@@ -22,6 +22,7 @@ else
         python measurements/run.py radix_bits
     HBRJ_SWEEP_R=16000000 HBRJ_SWEEP_S=128000000 \
         python measurements/run.py algos
+    python measurements/run.py algos_b      # workload B: 128M x 128M
     HBRJ_SWEEP_R=16000000 HBRJ_SWEEP_S=128000000 \
         python measurements/run.py bloom
     HBRJ_SWEEP_R=16000000 HBRJ_SWEEP_S=128000000 \
