@@ -167,6 +167,38 @@ def plot_figure11():
     _save(fig, "figure11_algos")
 
 
+def plot_figure11_b():
+    """Figure 11 at the reference's actual workload B (128M x 128M, 8B).
+
+    Reference bars: base_results/figure11/{PRO,PRH,PRHO}_B_14.txt = 9.85 /
+    12.73 / 11.35 ns/tuple (isengard, 8 thr, 14 radix bits); the reference
+    has no NPO workload-B run, so NPO shows the engine bar only.
+    Side-by-side with the engine's measured TPU numbers (algos_B sweep).
+    """
+    df = _load("algos_B")
+    if df is None:
+        return
+    ref = {"PRO": 9.85, "PRH": 12.73, "PRHO": 11.35}
+    order = [a for a in ("PRO", "PRH", "PRHO", "NPO")
+             if a in set(df["algorithm"])]
+    d = df.set_index("algorithm").reindex(order)
+    fig, ax = _ax("Workload B (128M$\\bowtie$128M): TPU engine vs reference",
+                  "", "ns / S-tuple")
+    xs = np.arange(len(d))
+    w = 0.38
+    ax.bar(xs - w / 2, [ref.get(a, 0) for a in order], width=w, color=C[3],
+           label="reference (isengard, 8 thr)")
+    ax.bar(xs + w / 2, d["nsec-per-tuple"], width=w, color=C[0],
+           label="this engine (1 TPU chip)")
+    ax.set_xticks(xs)
+    ax.set_xticklabels(order, fontsize=9)
+    for x, v in zip(xs + w / 2, d["nsec-per-tuple"]):
+        ax.annotate(f"{v:.2f}", (x, v), textcoords="offset points",
+                    xytext=(0, 3), ha="center", fontsize=8)
+    ax.legend(fontsize=8)
+    _save(fig, "figure11_algos_B")
+
+
 def plot_passes():
     """1-pass vs 2-pass partitioning (ref never_single_pass axis)."""
     df = _load("passes")
@@ -206,7 +238,8 @@ def plot_dist_bloom():
 
 PLOTS = {"figure9": plot_figure9, "scaling": plot_scaling,
          "bloom": plot_bloom, "fpr": plot_fpr,
-         "figure11": plot_figure11, "passes": plot_passes,
+         "figure11": plot_figure11, "figure11_b": plot_figure11_b,
+         "passes": plot_passes,
          "dist_bloom": plot_dist_bloom}
 
 
