@@ -31,8 +31,18 @@ def main():
         "TRACE_DIR",
         os.path.join(os.path.dirname(__file__), "..", "measurements",
                      "trace_r05"))
+    from hwbloomradixjoin_tpu.ops import bitmap_join
+
     params = G.WorkloadParams(r_size=r_size, s_size=s_size, nthreads=8)
     rk, rp, sk, sp = G.build_workload(params)
+    # pre-pad S to the partition chunk multiple on host (same as bench.py:
+    # the engine's device-side pad path pads all columns, which the
+    # 1-element key-projection placeholder payload cannot satisfy)
+    chunk = bitmap_join.CHUNK_ROWS * 128
+    pad = (-len(sk)) % chunk
+    if pad:
+        sk = np.concatenate(
+            [sk, np.full(pad, Relation.PAD_KEY, np.int32)])
     R = Relation.from_numpy(rk, rp, stats=G.r_key_stats(params))
     S = Relation(key=jnp.asarray(sk), payload=jnp.zeros(1, jnp.int32))
     cfg = EngineConfig()
